@@ -1,0 +1,58 @@
+"""Uniqueness / duplicate-key detection with explicit skew handling.
+
+Reference analog: dedup-by-GROUP-BY in the MCR fetch
+(``boiler_consumption_validation.py:21-31``) and DISTINCT scans
+(``advanced_validation.py:249-250``). At the 10^12-doc shape a hot ``doc_id``
+can dwarf a shuffle partition, so the count is done in two phases
+(north_star: "uniqueness on doc_id via salted hash-repartition"):
+
+phase 1 — group by (key, salt) where salt is a row-content hash mod N: a hot
+key's rows split across N reducers, each emitting a partial count;
+phase 2 — sum the (at most N) partials per key. Phase-2 groups are bounded by
+N·distinct-keys regardless of skew.
+
+(Spark's hash aggregate already performs map-side partial counts; the salt
+additionally bounds the reduce-side per-key row count when a key floods many
+input partitions, and generalizes to aggregates without partial-combine.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(df: DataFrame, key: str, n_salts: int = 64) -> DataFrame:
+    """Keys appearing more than once → ``(key, dup_count)``."""
+    salt = (F.abs(F.xxhash64(F.struct(*df.columns))) % n_salts).alias("_salt")
+    partial = df.select(F.col(key), salt).groupBy(key, "_salt").agg(
+        F.count(F.lit(1)).alias("_partial")
+    )
+    return (
+        partial.groupBy(key)
+        .agg(F.sum("_partial").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def uniqueness_violations(
+    df: DataFrame, key: str = "doc_id", n_salts: int = 64
+) -> DataFrame:
+    """Violation rows for the DUP-DOC-ID rule: every row whose key is
+    duplicated, joined back so violations carry entity context.
+
+    The join back is on the (small) duplicate-key set → broadcast, no second
+    shuffle of the fact.
+    """
+    dups = duplicate_keys(df, key, n_salts)
+    return (
+        df.join(F.broadcast(dups), key, "inner")
+        .select(
+            F.col(key),
+            F.lit("DUP-DOC-ID").alias("rule_id"),
+            F.lit("error").alias("severity"),
+            F.format_string(
+                "doc_id appears %d times; expected unique", F.col("dup_count")
+            ).alias("remarks"),
+        )
+    )

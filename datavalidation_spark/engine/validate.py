@@ -1,0 +1,108 @@
+"""End-to-end validation pipeline over the interleaved-document table.
+
+Plan shape (SURVEY.md §4): pruned scan → row-local rule expressions
+(whole-stage codegen, zero Python) → [uniqueness: 2-phase salted agg]
+→ [referential: distinct refs ⟕̸ broadcast catalog] → union violations →
+per-partition verdict aggregation. Two shuffles total (uniqueness agg,
+verdict agg); the row-local rules add none.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datavalidation_spark.engine.referential import dangling_media_refs
+from datavalidation_spark.engine.spans import span_rules
+from datavalidation_spark.engine.uniqueness import duplicate_keys
+from datavalidation_spark.rules.core import Rule, annotate
+
+VIOLATION_SCHEMA_COLS = ("doc_id", "part_id", "rule_id", "severity", "remarks")
+
+
+@dataclass
+class ValidationResult:
+    violations: DataFrame  # (doc_id, part_id, rule_id, severity, remarks)
+    verdicts: DataFrame    # (part_id, row_count, violation_count, violating_rows, passed)
+
+
+def validate_documents(
+    docs: DataFrame,
+    asset_catalog: DataFrame | None = None,
+    extra_rules: list[Rule] | None = None,
+    check_unique: bool = True,
+    partition_col: str = "part_id",
+) -> ValidationResult:
+    """Run the full span-rule catalog (+ uniqueness + referential) and emit
+    violations + per-partition verdicts (BASELINE.json north_rule)."""
+    rules = span_rules("spans") + list(extra_rules or [])
+
+    ann = annotate(docs, rules, out="_v")
+
+    row_viol = ann.select(
+        "doc_id", partition_col, F.explode("_v").alias("_x")
+    ).select("doc_id", partition_col, "_x.rule_id", "_x.severity", "_x.remarks")
+
+    parts: list[DataFrame] = [row_viol]
+
+    if check_unique:
+        dups = duplicate_keys(docs, "doc_id")
+        dup_viol = docs.join(F.broadcast(dups), "doc_id", "inner").select(
+            "doc_id",
+            F.col(partition_col),
+            F.lit("DUP-DOC-ID").alias("rule_id"),
+            F.lit("error").alias("severity"),
+            F.format_string(
+                "doc_id appears %d times; expected unique", F.col("dup_count")
+            ).alias("remarks"),
+        )
+        parts.append(dup_viol)
+
+    if asset_catalog is not None:
+        # carry part_id through the explode so verdicts attribute correctly
+        refs = docs.select(
+            "doc_id",
+            partition_col,
+            F.explode(
+                F.filter(
+                    F.transform(F.col("spans"), lambda s: s["media_ref"]),
+                    lambda r: r.isNotNull(),
+                )
+            ).alias("media_ref"),
+        ).distinct()
+        dangling = refs.join(
+            F.broadcast(asset_catalog.select("media_ref")), "media_ref", "left_anti"
+        ).select(
+            "doc_id",
+            F.col(partition_col),
+            F.lit("REF-DANGLING").alias("rule_id"),
+            F.lit("error").alias("severity"),
+            F.format_string(
+                "media_ref %s not found in asset catalog", F.col("media_ref")
+            ).alias("remarks"),
+        )
+        parts.append(dangling)
+
+    violations = parts[0]
+    for p in parts[1:]:
+        violations = violations.unionByName(p)
+
+    per_part_viol = violations.groupBy(partition_col).agg(
+        F.count(F.lit(1)).alias("violation_count"),
+        F.countDistinct("doc_id").alias("violating_rows"),
+    )
+    verdicts = (
+        docs.groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .join(per_part_viol, partition_col, "left")
+        .select(
+            partition_col,
+            "row_count",
+            F.coalesce("violation_count", F.lit(0)).alias("violation_count"),
+            F.coalesce("violating_rows", F.lit(0)).alias("violating_rows"),
+            (F.coalesce("violation_count", F.lit(0)) == 0).alias("passed"),
+        )
+    )
+    return ValidationResult(violations=violations, verdicts=verdicts)

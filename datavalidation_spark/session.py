@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the validation engine.
+
+Local testing runs on ``local[N]`` (single JVM); the config choices are the
+ones that matter identically on a 1000-executor cluster: AQE on (runtime
+re-plan + skew-join splitting), Arrow on (every pandas-UDF stage), shuffle
+partition count sized to the parallelism, and broadcast threshold high enough
+that every dimension table in the catalog broadcasts instead of shuffling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "datavalidation-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    ``cores=None`` → ``local[$SPARK_GRAFT_CPUS or *]``. On a real cluster the
+    master comes from spark-submit and this only applies SQL conf.
+    """
+    if cores is None:
+        cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cores_env}]" if cores_env else "local[*]"
+    else:
+        master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of small shuffle partitions, skew-join
+        # splitting — required at the 10^12-doc shape where doc buckets skew.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow transport for every pandas-UDF stage (drift/anomaly tier and
+        # span rules); batch size bounds executor-python memory per batch.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Dimension tables (asset catalog, vessel particulars/coefficients)
+        # must broadcast — a shuffle join on a 100 TB fact is the failure mode.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Nested-schema pruning so span-rule scans read only needed struct
+        # fields out of parquet (on by default in recent Spark; pin anyway).
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
