@@ -1,0 +1,115 @@
+"""Text-analysis operators over a document corpus — language-ID, quality
+scoring, token counting, fingerprinting. All pure Column expressions
+(JVM-side, whole-stage codegen); these run inside the validation pass as
+derived columns, so a 100 TB corpus pays zero extra scans.
+
+Reference analog: the scalar rule library (SURVEY.md §2.6) — these are the
+"domain functions" of a training-data pipeline the way haversine/slip/load
+were the reference's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "en", "est", "que"),
+    "de": ("der", "die", "und", "das", "ist", "von", "ein", "zu"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "人"),
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"] + ("this", "that", "for", "on", "with", "as")
+
+# BPE-ish tokenizer: word pieces = runs of letters, digits, or single
+# punctuation — the standard pre-tokenization regex shape
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (lowercased); empty array for null/empty text."""
+    t = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.when(F.length(F.trim(text)) > 0, t).otherwise(F.array().cast("array<string>"))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count via the pre-tokenization regex (regexp_count —
+    no array materialization, stays in codegen)."""
+    return F.coalesce(F.regexp_count(text, F.lit(TOKEN_REGEX)), F.lit(0))
+
+
+def lang_scores(text: Column) -> Column:
+    """map<lang, matched-stopword-count> from the per-language profiles."""
+    toks = tokens(text)
+    entries = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            F.size(
+                F.filter(toks, lambda t: t.isin(*words))
+            ).alias("hits"),
+        )
+        for lang, words in LANG_PROFILES.items()
+    ]
+    return F.array(*entries)
+
+
+def detect_lang(text: Column, default: str = "und") -> Column:
+    """argmax over the stopword profiles; 'und' when nothing matches.
+    Deterministic tie-break: max hits, then lexicographically largest lang
+    (struct ordering compares fields in sequence)."""
+    scores = lang_scores(text)
+    best = F.array_max(
+        F.transform(
+            scores,
+            lambda s: F.struct(s["hits"].alias("hits"), s["lang"].alias("lang")),
+        )
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / word-length features — the standard
+    heuristic quality signals of a pretraining filter."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.coalesce(F.length(text), F.lit(0))
+    n_punct = F.coalesce(F.regexp_count(text, F.lit(r"[^\w\s]")), F.lit(0))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    mean_wlen = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0),
+        "stopword_ratio": F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0),
+        "mean_word_len": mean_wlen,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] score: long-enough, low punctuation, some stopwords,
+    plausible word lengths — a deterministic C4-style heuristic."""
+    f = quality_features(text)
+    len_ok = F.least(f["n_tokens"].cast("double") / 20.0, F.lit(1.0))
+    punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 5.0)
+    wlen = f["mean_word_len"]
+    wlen_ok = F.when((wlen >= 2.0) & (wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_ok + punct_ok + wlen_ok) / 3.0, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the canonicalized token stream (case/
+    whitespace-insensitive). Rolling-hash analog that is portable across
+    engines for oracle checks."""
+    return F.md5(F.concat_ws(" ", tokens(text)))

@@ -1,0 +1,168 @@
+"""Dedup + similarity-search operator tests with planted duplicates and a
+numpy exact-search oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datavalidation_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from datavalidation_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """sf0.001 documents + planted exact and near duplicates."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = docs.toPandas()
+    base = pdf.iloc[0]["text"]
+    near = " ".join(base.split()[:-2] + ["zzz", "qqq"])  # ~95% token overlap
+    extra = pd.DataFrame(
+        [
+            # exact dup (whitespace/case variant → same canonical digest)
+            dict(doc_id=90001, text="  " + base.upper() + " ", lang="en", source="dup", n_chars=len(base)),
+            dict(doc_id=90002, text=base, lang="en", source="dup", n_chars=len(base)),
+            dict(doc_id=90003, text=near, lang="en", source="dup", n_chars=len(near)),
+            dict(doc_id=90004, text="totally unrelated content xyzzy plugh", lang="en", source="dup", n_chars=37),
+        ]
+    )
+    return spark.createDataFrame(pd.concat([pdf, extra], ignore_index=True))
+
+
+def test_exact_duplicates(corpus):
+    dups = exact_duplicates(corpus).collect()
+    groups = {tuple(r.dup_ids) for r in dups}
+    assert (0, 90001, 90002) in groups  # doc 0's text + 2 planted copies
+    flat = {i for g in groups for i in g}
+    assert 90003 not in flat and 90004 not in flat
+
+
+def test_jaccard_pairs_finds_near_dup(corpus):
+    pairs = jaccard_pairs(corpus, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert any(
+        {a, b} >= {90003} and {a, b} & {0, 90001, 90002} for (a, b) in found
+    ), found
+    # exact copies have J=1.0
+    assert found.get((0, 90002)) == 1.0
+    assert all(90004 not in (a, b) for (a, b) in found)
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(corpus):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(corpus, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(corpus, threshold=0.4, k=16, bands=4).collect()
+    }
+    # every exact pair with J≥0.7 must be recalled by LSH at threshold 0.4
+    strong = {p for p, j in exact.items() if j >= 0.7}
+    assert strong <= set(lsh), f"missed: {strong - set(lsh)}"
+    for p in strong:
+        assert abs(lsh[p] - exact[p]) <= 0.35  # 16-hash estimator tolerance
+
+
+def test_simhash_signature_matches_python_reference(spark, corpus):
+    sigs = {r.id: r.simhash for r in simhash_signatures(corpus.limit(5)).collect()}
+
+    def fnv(tok):
+        acc = 0xCBF29CE484222325
+        for ch in tok.encode("utf-8"):
+            acc = ((acc ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return acc
+
+    row = corpus.select("doc_id", "text").limit(5).collect()[0]
+    toks = row.text.lower().split()
+    votes = [0] * 64
+    for t in toks:
+        h = fnv(t)
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    want = 0
+    for b in range(64):
+        if votes[b] > 0:
+            want |= 1 << b
+    want = want - (1 << 64) if want >= (1 << 63) else want
+    assert sigs[row.doc_id] == want
+
+
+def test_simhash_pairs_find_near_dups(corpus):
+    pairs = simhash_pairs(corpus, max_hamming=8).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 90002) in ids  # identical text → hamming 0
+    assert all(90004 not in p for p in ids)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas()
+    v0 = np.array(pdf.iloc[0]["embedding"], dtype=np.float32)
+    near = v0 + np.float32(0.001)
+    extra = pd.DataFrame([dict(vec_id=90001, embedding=near.tolist(), label=0)])
+    return spark.createDataFrame(pd.concat([pdf, extra], ignore_index=True))
+
+
+def test_cosine_pairs_finds_planted_near_identical(vectors):
+    pairs = cosine_pairs(vectors, threshold=0.99).collect()
+    assert any({r.id_a, r.id_b} == {0, 90001} for r in pairs)
+
+
+def _brute_force_topk(pdf: pd.DataFrame, k: int = 10) -> dict[int, list[int]]:
+    M = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M @ M.T
+    np.fill_diagonal(sims, -np.inf)
+    ids = pdf["vec_id"].to_numpy()
+    out = {}
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -sims[i]))[:k]
+        out[int(ids[i])] = [int(ids[j]) for j in order]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, vectors):
+    pdf = vectors.toPandas()
+    queries = vectors.where(F.col("vec_id") < 20)
+    got = cosine_topk(queries, vectors, k=5).collect()
+    want = _brute_force_topk(pdf, k=5)
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    for q, neigh in by_q.items():
+        assert neigh == want[q], f"query {q}: {neigh} != {want[q]}"
+
+
+def test_lsh_and_ivf_recall(spark, vectors):
+    pdf = vectors.toPandas()
+    want = _brute_force_topk(pdf, k=10)
+    queries = vectors.where(F.col("vec_id") < 30)
+
+    def recall(df):
+        by_q: dict[int, set[int]] = {}
+        for r in df.collect():
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        scores = [
+            len(by_q.get(q, set()) & set(want[q])) / 10 for q in range(30)
+        ]
+        return float(np.mean(scores))
+
+    r_lsh = recall(lsh_topk(queries, vectors, k=10, n_bits=6, n_tables=8))
+    r_ivf = recall(ivf_topk(queries, vectors, k=10, n_cells=8, n_probe=4))
+    assert r_lsh >= 0.3, r_lsh
+    assert r_ivf >= 0.4, r_ivf
