@@ -232,7 +232,128 @@ def q_anti_join_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis operators (token counts, quality features) as one
+    codegen projection (operators/text.py)."""
+    from datavalidation_spark.operators.text import (
+        quality_features,
+        quality_score,
+        token_count_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(f["mean_word_len"], 6).alias("mean_word_len"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_detect_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (operators/text.py)."""
+    from datavalidation_spark.operators.text import detect_lang, lang_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    hit = {
+        lang: F.element_at(
+            F.filter(scores, lambda s: s["lang"] == lang), 1
+        )["hits"]
+        for lang in ("en", "es", "fr", "de", "zh")
+    }
+    return docs.select(
+        "doc_id",
+        *[hit[lang].alias(f"{lang}_hits") for lang in ("en", "es", "fr", "de", "zh")],
+        detect_lang(F.col("text")).alias("detected"),
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity join (unigram shingles — the synthetic corpus
+    shares a small vocabulary, so unigram overlap is the discriminating
+    signal; 3-gram variant covered in tests with planted dups)."""
+    from datavalidation_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, shingle_n=1, threshold=0.8, max_doc_freq=1000)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (md5-portable hash family)."""
+    from datavalidation_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, shingle_n=1, k=16, bands=4, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (Arrow pandas UDF; rows-only driver check — bit
+    parity is pytest-verified against a python reference)."""
+    from datavalidation_spark.operators.dedup import simhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_signatures(docs)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, double-precision)."""
+    from datavalidation_spark.operators.similarity import cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.4)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 20 query vectors."""
+    from datavalidation_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.where(F.col("vec_id") < 20), emb, k=5)
+
+
+def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS + PSI per event_type, first half vs second half
+    by time (engine/drift.py scale path)."""
+    from datavalidation_spark.engine.drift import binned_drift
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    split = ev.withColumn("split", F.ntile(2).over(w) - 1)
+    d = binned_drift(split, "event_type", "split", ["value"], n_bins=10)
+    return d.select(
+        "event_type",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round("psi", 3).alias("psi"),
+        "n_train",
+        "n_test",
+    )
+
+
+def q_advanced_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-pandas statistical tier on events per user (rows-only check;
+    detection quality is pytest-verified with planted drift)."""
+    from datavalidation_spark.engine.drift import run_advanced_checks
+
+    ev = _t(spark, sf_dir, "events")
+    return run_advanced_checks(
+        ev, group_col="user_id", ts_col="ts", features=["value"]
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_quality": q_text_quality,
+    "detect_lang": q_detect_lang,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_topk": q_ann_topk,
+    "drift_events": q_drift_events,
+    "advanced_checks": q_advanced_checks,
     "doc_rule_violations": q_doc_rule_violations,
     "doc_source_verdicts": q_doc_source_verdicts,
     "pricing_summary": q_pricing_summary,
@@ -273,8 +394,196 @@ _DOC_FIRE_COUNT = " + ".join(
 )
 
 
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_STOPWORDS_SQL = "'the','and','of','to','a','in','is','it','this','that','for','on','with','as'"
+_PROFILES_SQL = {
+    "en": "'the','and','of','to','a','in','is','it'",
+    "es": "'el','la','de','que','y','en','un','es'",
+    "fr": "'le','la','de','et','un','en','est','que'",
+    "de": "'der','die','und','das','ist','von','ein','zu'",
+    "zh": "'的','是','了','在','我','有','和','人'",
+}
+_HITS_SQL = {
+    lang: f"len(list_filter({_TOKS}, t -> t IN ({words})))"
+    for lang, words in _PROFILES_SQL.items()
+}
+
+_MINHASH_SIG_SQL = "[" + ", ".join(
+    f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min')"
+    for i in range(16)
+) + "]"
+
+_NORM_EMB_SQL = """
+  n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+  u AS (SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM n)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKS} AS toks,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens_bpe,
+                   round(len(list_filter(toks, x -> x IN ({_STOPWORDS_SQL})))
+                         / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+                   round(list_sum(list_transform(toks, x -> length(x)))
+                         / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+                   round((least(len(toks) / 20.0, 1.0)
+                          + greatest(0.0, 1.0 - (n_punct / CAST(length(text) AS DOUBLE)) * 5.0)
+                          + CASE WHEN list_sum(list_transform(toks, x -> length(x)))
+                                      / CAST(len(toks) AS DOUBLE) BETWEEN 2.0 AND 12.0
+                                 THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS quality
+            FROM t
+        """,
+        "detect_lang": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     {_HITS_SQL['en']} AS en_hits,
+                     {_HITS_SQL['es']} AS es_hits,
+                     {_HITS_SQL['fr']} AS fr_hits,
+                     {_HITS_SQL['de']} AS de_hits,
+                     {_HITS_SQL['zh']} AS zh_hits
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(en_hits AS INT) AS en_hits, CAST(es_hits AS INT) AS es_hits,
+                   CAST(fr_hits AS INT) AS fr_hits, CAST(de_hits AS INT) AS de_hits,
+                   CAST(zh_hits AS INT) AS zh_hits,
+                   CASE WHEN greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) = 0
+                        THEN 'und'
+                        WHEN zh_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'zh'
+                        WHEN fr_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'fr'
+                        WHEN es_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'es'
+                        WHEN en_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'en'
+                        ELSE 'de' END AS detected
+            FROM h
+        """,
+        "dedup_jaccard": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, unnest(list_distinct({_TOKS})) AS shingle
+              FROM documents
+            ),
+            sizes AS (SELECT id, count(*) AS n_sh FROM toks GROUP BY id),
+            freq AS (SELECT shingle, count(*) AS df FROM toks GROUP BY shingle),
+            idx AS (SELECT t.id, t.shingle FROM toks t JOIN freq USING (shingle)
+                    WHERE df <= 1000),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+              FROM idx a JOIN idx b USING (shingle)
+              WHERE a.id < b.id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6)
+                       AS jaccard
+            FROM pairs
+            JOIN sizes na ON na.id = id_a
+            JOIN sizes nb ON nb.id = id_b
+            WHERE round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) >= 0.8
+        """,
+        "dedup_minhash": f"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                     list_sort(list_distinct({_TOKS})) AS sh
+              FROM documents
+            ),
+            sig AS (SELECT id, {_MINHASH_SIG_SQL} AS sig FROM base),
+            banded AS (
+              SELECT id, sig, b,
+                     sig[b*4+1] || sig[b*4+2] || sig[b*4+3] || sig[b*4+4] AS key
+              FROM sig, (SELECT unnest([0,1,2,3]) AS b)
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b USING (b, key)
+              WHERE a.id < b.id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(list_sum(list_transform(range(1, 17),
+                         i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                         / 16.0, 6) AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.id = c.id_a
+            JOIN sig sb ON sb.id = c.id_b
+            WHERE round(list_sum(list_transform(range(1, 17),
+                        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                        / 16.0, 6) >= 0.5
+        """,
+        "embedding_near_dup": f"""
+            WITH {_NORM_EMB_SQL}
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.nv, b.nv), 6) AS cosine
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.nv, b.nv), 6) >= 0.4
+        """,
+        "ann_topk": f"""
+            WITH {_NORM_EMB_SQL},
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.nv, c.nv), 6) AS cosine
+              FROM u q JOIN u c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 20
+            )
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "drift_events": """
+            WITH s AS (
+              SELECT event_type, value,
+                     ntile(2) OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1
+                         AS split
+              FROM events
+            ),
+            long AS (
+              SELECT event_type, split, CAST(value AS DOUBLE) AS value
+              FROM s WHERE value IS NOT NULL AND NOT isnan(value)
+            ),
+            bounds AS (
+              SELECT event_type, min(value) AS lo, max(value) AS hi
+              FROM long GROUP BY 1
+            ),
+            binned AS (
+              SELECT l.event_type,
+                     CASE WHEN hi = lo THEN 0
+                          ELSE least(CAST(floor((value - lo) / (hi - lo) * 10) AS INT), 9)
+                     END AS bucket,
+                     sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS n_train,
+                     sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS n_test
+              FROM long l JOIN bounds USING (event_type)
+              GROUP BY 1, 2
+            ),
+            enr AS (
+              SELECT *,
+                     sum(n_train) OVER (PARTITION BY event_type) AS tot_train,
+                     sum(n_test) OVER (PARTITION BY event_type) AS tot_test,
+                     sum(n_train) OVER (PARTITION BY event_type ORDER BY bucket) AS ctr,
+                     sum(n_test) OVER (PARTITION BY event_type ORDER BY bucket) AS cte
+              FROM binned
+            )
+            SELECT event_type,
+                   round(max(abs(ctr / CAST(tot_train AS DOUBLE)
+                                 - cte / CAST(tot_test AS DOUBLE))), 6) AS ks_stat,
+                   round(sum((greatest(n_train / CAST(tot_train AS DOUBLE), 0.0005)
+                              - greatest(n_test / CAST(tot_test AS DOUBLE), 0.0005))
+                             * ln(greatest(n_train / CAST(tot_train AS DOUBLE), 0.0005)
+                                  / greatest(n_test / CAST(tot_test AS DOUBLE), 0.0005))), 3)
+                       AS psi,
+                   CAST(max(tot_train) AS BIGINT) AS n_train,
+                   CAST(max(tot_test) AS BIGINT) AS n_test
+            FROM enr GROUP BY event_type
+        """,
         "doc_rule_violations": _DOC_VIOLATIONS_SQL,
         "doc_source_verdicts": f"""
             SELECT source,

@@ -120,14 +120,14 @@ def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
     """
     sh = word_shingles(text, shingle_n)
     safe = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("\x00empty")))
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(safe, lambda s, i=i: F.md5(F.concat(F.lit(str(i) + "|"), s)))
-            )
-            for i in range(k)
-        ]
-    )
+
+    def hash_fn(i: int):
+        # single-arg lambda via closure — a two-parameter lambda would make
+        # pyspark pass the ARRAY INDEX as the second argument
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(*[F.array_min(F.transform(safe, hash_fn(i))) for i in range(k)])
 
 
 def minhash_lsh_pairs(
