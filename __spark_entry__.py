@@ -174,7 +174,7 @@ def q_trailing_window_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass column profile (SURVEY A8) with exact variants so the
-    DuckDB oracle hashes identically (sketch variants live in engine.profile)."""
+    DuckDB oracle hashes identically (sketch variants live in engine.profiling)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.agg(
         F.count(F.lit(1)).alias("n_rows"),

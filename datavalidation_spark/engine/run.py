@@ -1,0 +1,70 @@
+"""spark-submit entrypoint (north_rule: "run via spark-submit --py-files").
+
+Package and launch:
+
+    cd <repo> && zip -r /tmp/dvspark.zip datavalidation_spark
+    spark-submit --py-files /tmp/dvspark.zip \\
+        datavalidation_spark/engine/run.py \\
+        --input /data/documents --catalog /data/assets \\
+        --audit /data/audit --run-id run1 --rule-version v1
+
+The job is partition-resumable: re-submitting the same (rule-version,
+snapshot) after a kill validates only the partitions missing from the audit
+table (engine/audit.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import uuid
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="Validate an interleaved-document table")
+    p.add_argument("--input", required=True, help="documents parquet/iceberg path")
+    p.add_argument("--catalog", default=None, help="asset catalog path (referential check)")
+    p.add_argument("--audit", required=True, help="audit table directory")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--rule-version", default="v1")
+    p.add_argument("--snapshot-id", default="snap0")
+    p.add_argument("--partition-col", default="part_id")
+    p.add_argument("--synth-docs", type=int, default=0,
+                   help="generate N synthetic docs instead of reading --input (demo/bench)")
+    p.add_argument("--synth-dirty", action="store_true")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from datavalidation_spark.engine.audit import run_resumable
+
+    # on a cluster, master/conf come from spark-submit; this only fills local runs
+    spark = SparkSession.builder.appName("datavalidation-run").getOrCreate()
+
+    if args.synth_docs:
+        from datavalidation_spark.datagen import synth_asset_catalog, synth_documents
+
+        docs = synth_documents(spark, args.synth_docs, dirty=args.synth_dirty)
+        catalog = synth_asset_catalog(spark)
+    else:
+        docs = spark.read.parquet(args.input)
+        catalog = spark.read.parquet(args.catalog) if args.catalog else None
+
+    run_id = args.run_id or f"run-{uuid.uuid4().hex[:8]}"
+    n = run_resumable(
+        spark,
+        docs,
+        args.audit,
+        run_id=run_id,
+        rule_version=args.rule_version,
+        snapshot_id=args.snapshot_id,
+        input_manifest=args.input or f"synth:{args.synth_docs}",
+        asset_catalog=catalog,
+        partition_col=args.partition_col,
+    )
+    print(f"validated_partitions={n} run_id={run_id}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
