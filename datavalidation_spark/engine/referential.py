@@ -21,10 +21,10 @@ def referenced_media(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Distinct (doc_id, media_ref) pairs from media spans — explode is
     confined to the two columns actually needed (nested-schema pruning keeps
     the scan narrow)."""
-    refs = F.filter(
-        F.transform(F.col(spans_col), lambda s: s["media_ref"]),
-        lambda r: r.isNotNull(),
-    )
+    # direct nested-field extraction (spans.media_ref) instead of a HOF over
+    # the whole struct — keeps parquet nested-schema pruning effective, so
+    # this scan reads ONLY the media_ref leaf column
+    refs = F.filter(F.col(f"{spans_col}.media_ref"), lambda r: r.isNotNull())
     return df.select("doc_id", F.explode(refs).alias("media_ref")).distinct()
 
 

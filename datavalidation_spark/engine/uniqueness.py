@@ -23,8 +23,14 @@ from pyspark.sql import functions as F
 
 
 def duplicate_keys(df: DataFrame, key: str, n_salts: int = 64) -> DataFrame:
-    """Keys appearing more than once → ``(key, dup_count)``."""
-    salt = (F.abs(F.xxhash64(F.struct(*df.columns))) % n_salts).alias("_salt")
+    """Keys appearing more than once → ``(key, dup_count)``.
+
+    Salt = spark_partition_id() % n_salts: spreads a hot key's rows across
+    reducers without reading ANY payload column (a row-content hash would
+    drag the spans column into this scan — the plan must read only ``key``).
+    Partial counts are salt-independent, so the final sums are exact.
+    """
+    salt = (F.spark_partition_id() % n_salts).alias("_salt")
     partial = df.select(F.col(key), salt).groupBy(key, "_salt").agg(
         F.count(F.lit(1)).alias("_partial")
     )

@@ -61,15 +61,14 @@ def validate_documents(
         parts.append(dup_viol)
 
     if asset_catalog is not None:
-        # carry part_id through the explode so verdicts attribute correctly
+        # carry part_id through the explode so verdicts attribute correctly.
+        # spans.media_ref (direct nested-field extraction, not a HOF) lets
+        # parquet nested-schema pruning read ONLY the media_ref leaf column.
         refs = docs.select(
             "doc_id",
             partition_col,
             F.explode(
-                F.filter(
-                    F.transform(F.col("spans"), lambda s: s["media_ref"]),
-                    lambda r: r.isNotNull(),
-                )
+                F.filter(F.col("spans.media_ref"), lambda r: r.isNotNull())
             ).alias("media_ref"),
         ).distinct()
         dangling = refs.join(

