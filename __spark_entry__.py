@@ -345,7 +345,58 @@ def q_advanced_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_physics_model_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ME-EXPECT rule shape (SURVEY §2.7) on testdata: extended price
+    must sit within [0.8, 1.2]× the model quantity·retailprice — broadcast
+    dim join + within-percentage violation emission."""
+    from datavalidation_spark.rules.core import Rule, violations, within_pct
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ctx = li.join(
+        F.broadcast(part.select("p_partkey", "p_retailprice")),
+        li.l_partkey == part.p_partkey,
+        "left",
+    )
+    expected = F.col("l_quantity") * F.col("p_retailprice")
+    rule = Rule(
+        "PRICE-MODEL",
+        violation=~within_pct(F.col("l_extendedprice"), expected, 0.8, 1.2),
+        remark="extended price not aligned with quantity*retailprice model",
+        where=F.col("p_retailprice").isNotNull(),
+    )
+    return violations(ctx, [rule], ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", "rule_id"
+    )
+
+
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-tail-per-group (SURVEY W4, the reference's .tail(30)): last 3
+    events per user by time."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def q_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based single-pass profile (SURVEY A8: HLL cardinality, GK
+    quantiles) over lineitem — rows-only driver check (sketch estimates are
+    engine-specific by construction; exact variants are oracle-checked in
+    profile_documents)."""
+    from datavalidation_spark.engine.profiling import profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile(li, ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "physics_model_check": q_physics_model_check,
+    "group_topk": q_group_topk,
+    "profile_sketches": q_profile_sketches,
     "text_quality": q_text_quality,
     "detect_lang": q_detect_lang,
     "dedup_jaccard": q_dedup_jaccard,
@@ -423,6 +474,22 @@ _NORM_EMB_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "physics_model_check": """
+            SELECT l_orderkey, l_linenumber, 'PRICE-MODEL' AS rule_id
+            FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+            WHERE p_retailprice IS NOT NULL
+              AND NOT (l_extendedprice
+                         BETWEEN (l_quantity * p_retailprice) * 0.8
+                             AND (l_quantity * p_retailprice) * 1.2)
+        """,
+        "group_topk": """
+            SELECT user_id, event_id, event_type, CAST(rn AS INT) AS rn FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn <= 3
+        """,
         "text_quality": f"""
             WITH t AS (
               SELECT doc_id, text, {_TOKS} AS toks,

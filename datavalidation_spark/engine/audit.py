@@ -85,6 +85,19 @@ class AuditLog:
         verdicts.write.mode("append").parquet(self.verdicts_path)
 
 
+def write_report(
+    violations: DataFrame, path: str, fmt: str = "csv", coalesce: int | None = 1
+) -> None:
+    """Human-facing violation report (reference S9: ``all_results.to_csv``
+    download, ``streamlit_app.py:150-151``) — csv/parquet/json sink.
+
+    ``coalesce=1`` mirrors the single-file download artifact; pass None to
+    keep the natural partitioning for big reports.
+    """
+    df = violations.coalesce(coalesce) if coalesce else violations
+    df.write.mode("overwrite").option("header", "true").format(fmt).save(path)
+
+
 def run_resumable(
     spark: SparkSession,
     docs: DataFrame,
@@ -95,6 +108,7 @@ def run_resumable(
     input_manifest: str = "",
     asset_catalog: DataFrame | None = None,
     partition_col: str = "part_id",
+    only_partitions: list | None = None,
 ) -> int:
     """Validate only partitions not yet recorded; append to audit.
 
@@ -102,19 +116,30 @@ def run_resumable(
     The pending-partition filter is a broadcast anti-join on part_id → Spark
     prunes the skipped partitions at the scan when the input is partitioned
     by part_id (partition pruning on the pushed-down IN-set).
+
+    Uniqueness remains GLOBAL across resumes: the dup scan always covers the
+    full ``docs`` table (doc_id column only), so a duplicate pair straddling
+    a validated/pending boundary is flagged in whichever partition is
+    pending. ``only_partitions`` caps this run to a partition subset
+    (operational throttle; also how tests simulate a mid-job kill).
     """
     audit = AuditLog(audit_dir)
     done = audit.validated_partitions(spark, rule_version, snapshot_id)
     pending = docs
     if done is not None:
         pending = docs.join(F.broadcast(done), partition_col, "left_anti")
+    if only_partitions is not None:
+        pending = pending.where(F.col(partition_col).isin(only_partitions))
 
     n_pending = pending.select(partition_col).distinct().count()
     if n_pending == 0:
         return 0
 
     result = validate_documents(
-        pending, asset_catalog=asset_catalog, partition_col=partition_col
+        pending,
+        asset_catalog=asset_catalog,
+        partition_col=partition_col,
+        unique_scope=docs,
     )
     audit.record(result, run_id, rule_version, snapshot_id, input_manifest)
     return n_pending

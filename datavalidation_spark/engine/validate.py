@@ -34,9 +34,17 @@ def validate_documents(
     extra_rules: list[Rule] | None = None,
     check_unique: bool = True,
     partition_col: str = "part_id",
+    unique_scope: DataFrame | None = None,
 ) -> ValidationResult:
     """Run the full span-rule catalog (+ uniqueness + referential) and emit
-    violations + per-partition verdicts (BASELINE.json north_rule)."""
+    violations + per-partition verdicts (BASELINE.json north_rule).
+
+    ``unique_scope``: uniqueness is a GLOBAL invariant — when ``docs`` is a
+    partition subset (resume), pass the full table here so duplicates that
+    straddle the validated/pending boundary are still counted; violations
+    are attributed only to rows present in ``docs``. The scope scan reads
+    only (doc_id) — cheap even when the subset is small.
+    """
     rules = span_rules("spans") + list(extra_rules or [])
 
     ann = annotate(docs, rules, out="_v")
@@ -48,7 +56,7 @@ def validate_documents(
     parts: list[DataFrame] = [row_viol]
 
     if check_unique:
-        dups = duplicate_keys(docs, "doc_id")
+        dups = duplicate_keys(unique_scope if unique_scope is not None else docs, "doc_id")
         dup_viol = docs.join(F.broadcast(dups), "doc_id", "inner").select(
             "doc_id",
             F.col(partition_col),

@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.3.
+
+Each property generates data driver-side and evaluates the compiled rules in
+ONE Spark job per example; examples are kept small and few (a Spark round
+trip per example), with determinism doing the heavy lifting.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datavalidation_spark.engine.spans import span_rules
+from datavalidation_spark.rules.core import annotate, violations
+from datavalidation_spark.rules.maritime import fuel_rob_context, fuel_rob_rules, me_rules
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+maybe_float = st.one_of(
+    st.none(),
+    st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False),
+)
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(maybe_float, maybe_float, maybe_float, maybe_float),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_me_rules_never_throw_on_nulls(spark, rows):
+    """Null-injection invariance: any mix of NULLs evaluates cleanly, and
+    ME-MISS fires exactly on NULL consumption (the reference's pd.notna
+    guards as a law, not an accident)."""
+    pdf = pd.DataFrame(
+        rows,
+        columns=["actual_me_consumption", "actual_me_power", "me_rpm", "steaming_time_hrs"],
+    )
+    pdf["vessel_name"] = [f"V{i}" for i in range(len(pdf))]
+    pdf["reportdate"] = pd.Timestamp("2024-01-01")
+    pdf["load_type"] = "laden"
+    pdf["observed_speed"] = 10.0
+    pdf["displacement"] = 50000.0
+    df = spark.createDataFrame(pdf).withColumns(
+        {
+            "vessel_type": F.lit(None).cast("string"),
+            "has_coefficients": F.lit(False),
+            "consp_speed1": F.lit(None).cast("double"),
+            "consp_disp1": F.lit(None).cast("double"),
+            "consp_speed2": F.lit(None).cast("double"),
+            "consp_disp2": F.lit(None).cast("double"),
+            "consp_intercept": F.lit(None).cast("double"),
+            "hull_factor": F.lit(1.0),
+            "me_hist_avg": F.lit(None).cast("double"),
+        }
+    )
+    out = violations(df, me_rules(), ["vessel_name"]).collect()  # must not raise
+    miss = {r.vessel_name for r in out if r.rule_id == "ME-MISS"}
+    want_miss = {
+        f"V{i}" for i, (c, *_rest) in enumerate(rows) if c is None or (isinstance(c, float) and math.isnan(c))
+    }
+    assert miss == want_miss
+
+
+@SET
+@given(
+    offsets=st.lists(st.integers(min_value=0, max_value=10_000), min_size=2, max_size=12, unique=True),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_offset_monotonicity_property(spark, offsets, seed):
+    """Sorted offsets always pass SPAN-OFFSET-MONO; any non-sorted
+    permutation always fires it."""
+    rng = random.Random(seed)
+    inc = sorted(offsets)
+    shuffled = inc[:]
+    while shuffled == inc:
+        rng.shuffle(shuffled)
+
+    def doc(doc_id, offs):
+        return (doc_id, [("text", f"t{o}", None, o) for o in offs], 0)
+
+    df = spark.createDataFrame(
+        [doc("sorted", inc), doc("shuffled", shuffled)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, part_id int",
+    )
+    fired = {
+        r.doc_id
+        for r in violations(df, span_rules(), ["doc_id"]).collect()
+        if r.rule_id == "SPAN-OFFSET-MONO"
+    }
+    assert fired == {"shuffled"}
+
+
+@SET
+@given(
+    n=st.integers(min_value=3, max_value=15),
+    perturb_idx=st.integers(min_value=1, max_value=14),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_rob_balance_round_trip(spark, n, perturb_idx, seed):
+    """A consistent ROB series yields zero violations; perturbing one ROB
+    cell yields exactly the violations at that row and the next (the balance
+    breaks on both sides of the edit) for that fuel only."""
+    perturb_idx = min(perturb_idx, n - 1)
+    rng = random.Random(seed)
+    dates = pd.date_range("2024-01-01", periods=n)
+    rob = 1000.0
+    rows = []
+    for d in dates:
+        cons = round(rng.uniform(0.5, 5.0), 2)
+        bunk = round(rng.choice([0.0, 0.0, 25.0]), 2)
+        rob = round(rob + bunk - cons, 2)
+        row = {"VESSEL_NAME": "V0", "REPORT_DATE": d}
+        for fuel in ["HSFO", "LSMGO", "ULSFO", "VLSFO", "MDO", "LNG"]:
+            row[f"ROB_{fuel}"] = rob
+            row[f"BUNKERED_QTY_{fuel}"] = bunk
+            row[f"TOTAL_CONSUMPTION_{fuel}"] = cons
+        rows.append(row)
+    clean = pd.DataFrame(rows)
+
+    def run(pdf):
+        df = spark.createDataFrame(pdf)
+        ctx = fuel_rob_context(df)
+        return violations(ctx, fuel_rob_rules(), ["VESSEL_NAME", "REPORT_DATE"]).collect()
+
+    assert run(clean) == []
+
+    dirty = clean.copy()
+    dirty.loc[perturb_idx, "ROB_HSFO"] = dirty.loc[perturb_idx, "ROB_HSFO"] + 7.77
+    out = run(dirty)
+    assert all(r.rule_id == "ROB-BAL-HSFO" for r in out)
+    got_dates = sorted(r.REPORT_DATE for r in out)
+    want_dates = sorted(
+        pd.Timestamp(dates[i]).to_pydatetime()
+        for i in ([perturb_idx] if perturb_idx == n - 1 else [perturb_idx, perturb_idx + 1])
+    )
+    assert got_dates == want_dates
