@@ -57,27 +57,30 @@ def run():
     return int(sum(r.violation_count for r in verd))
 
 run()  # warmup (JIT/codegen)
-best = None
-for _ in range(3):
+times = []
+for _ in range(5):
     t0 = time.perf_counter()
     nv = run()
-    el = time.perf_counter() - t0
-    best = el if best is None or el < best else best
-print(json.dumps({{"cores": cores, "sec": best, "docs_per_sec": n_docs / best,
-                   "n_violations": nv}}))
+    times.append(time.perf_counter() - t0)
+times.sort()
+med = times[len(times) // 2]
+print(json.dumps({{"cores": cores, "sec": med, "docs_per_sec": n_docs / med,
+                   "runs": [round(t, 2) for t in times], "n_violations": nv}}))
 """
 
 
-def _child_env() -> dict:
+def _child_env(cores: int) -> dict:
     env = dict(os.environ)
-    env.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    # heap scaled with parallelism, like per-executor memory on a cluster —
+    # a fixed giant heap gives local[2] pathological GC geometry
+    env.setdefault("SPARK_DRIVER_MEMORY", f"{4 + 2 * cores}g")
     return env
 
 
 def generate(n_docs: int, path: str) -> None:
     subprocess.run(
         [sys.executable, "-c", GEN.format(repo=REPO), str(n_docs), path],
-        check=True, timeout=1800, env=_child_env(),
+        check=True, timeout=1800, env=_child_env(32),
     )
 
 
@@ -85,7 +88,7 @@ def run_at(cores: int, n_docs: int, path: str) -> dict:
     """Fresh JVM per parallelism level — no cross-contamination of executors."""
     out = subprocess.run(
         [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), str(n_docs), path],
-        capture_output=True, text=True, timeout=1800, env=_child_env(),
+        capture_output=True, text=True, timeout=1800, env=_child_env(cores),
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
