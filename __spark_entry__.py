@@ -291,12 +291,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (Arrow pandas UDF; rows-only driver check — bit
-    parity is pytest-verified against a python reference)."""
+    """SimHash signatures — pure Column ops over the md5-portable token-hash
+    family, so the 64-bit signature is reproduced bit-for-bit by the DuckDB
+    oracle (emitted as a 16-hex-char string to stay engine-portable)."""
     from datavalidation_spark.operators.dedup import simhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_signatures(docs)
+    return simhash_signatures(docs).select("id", "simhash_hex")
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,13 +336,58 @@ def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_advanced_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-pandas statistical tier on events per user (rows-only check;
-    detection quality is pytest-verified with planted drift)."""
+    """Grouped-pandas statistical tier (SURVEY M2/M4) — the KS-drift subset,
+    fully DuckDB-oracled: deterministic (ts, event_id) temporal split,
+    per-split mean imputation, exact two-sample KS D and the Kolmogorov-
+    series asymptotic p-value (numpy path pinned via prefer_scipy=False so
+    the number is engine-portable). The non-SQL-expressible checks (anomaly
+    ensemble, change points, MI) live in q_advanced_anomaly."""
     from datavalidation_spark.engine.drift import run_advanced_checks
 
     ev = _t(spark, sf_dir, "events")
-    return run_advanced_checks(
-        ev, group_col="user_id", ts_col="ts", features=["value"]
+    res = run_advanced_checks(
+        ev,
+        group_col="user_id",
+        ts_col="ts",
+        features=["value"],
+        order_cols=["ts", "event_id"],
+        prefer_scipy=False,
+    )
+    return res.where(F.col("check") == "drift").select(
+        "group_key",
+        "feature",
+        F.round("value", 6).alias("p_value"),
+        "flagged",
+    )
+
+
+def q_advanced_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-pandas ML tier (SURVEY M3/M5/M6): anomaly ensemble
+    (LOF ∪ iForest), PELT change points, mutual information — rows-only
+    driver check (seeded-RNG ensembles are not SQL-expressible; detection
+    quality is pytest-verified with planted anomalies/steps). ``indices``
+    are projected to a comma-joined string so every driver-facing column is
+    a hashable scalar."""
+    from datavalidation_spark.engine.drift import run_advanced_checks
+
+    ev = _t(spark, sf_dir, "events")
+    res = run_advanced_checks(
+        ev,
+        group_col="user_id",
+        ts_col="ts",
+        features=["value"],
+        order_cols=["ts", "event_id"],
+        prefer_scipy=False,
+    )
+    return res.where(F.col("check") != "drift").select(
+        "group_key",
+        "check",
+        "feature",
+        F.round("value", 6).alias("value"),
+        "flagged",
+        F.array_join(F.transform("indices", lambda i: i.cast("string")), ",").alias(
+            "indices_csv"
+        ),
     )
 
 
@@ -406,6 +452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "drift_events": q_drift_events,
     "advanced_checks": q_advanced_checks,
+    "advanced_anomaly": q_advanced_anomaly,
     "doc_rule_violations": q_doc_rule_violations,
     "doc_source_verdicts": q_doc_source_verdicts,
     "pricing_summary": q_pricing_summary,
@@ -459,6 +506,22 @@ _HITS_SQL = {
     lang: f"len(list_filter({_TOKS}, t -> t IN ({words})))"
     for lang, words in _PROFILES_SQL.items()
 }
+
+# SimHash oracle pieces: 64 bit-vote sums over the md5 token-hash halves,
+# then signature bits recombined hi/lo and printed as 16 hex chars —
+# mirrors operators/dedup.py::simhash_signatures expression by expression.
+_SIMHASH_VOTES_SQL = ",\n                     ".join(
+    f"sum((({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) * 2 - 1) AS v{b}"
+    for b in range(64)
+)
+_SIMHASH_HI_SQL = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN CAST({1 << (b - 32)} AS BIGINT) ELSE 0 END)"
+    for b in range(32, 64)
+)
+_SIMHASH_LO_SQL = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(32)
+)
 
 _MINHASH_SIG_SQL = "[" + ", ".join(
     f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min')"
@@ -556,11 +619,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.id = id_b
             WHERE round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) >= 0.8
         """,
+        "dedup_simhash": f"""
+            WITH tok AS (
+              SELECT doc_id AS id, unnest({_TOKS}) AS t
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ),
+            halves AS (
+              SELECT id,
+                     ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                     ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+              FROM tok
+            ),
+            votes AS (
+              SELECT id,
+                     {_SIMHASH_VOTES_SQL}
+              FROM halves GROUP BY id
+            )
+            SELECT d.doc_id AS id,
+                   printf('%08x%08x', {_SIMHASH_HI_SQL}, {_SIMHASH_LO_SQL})
+                       AS simhash_hex
+            FROM documents d LEFT JOIN votes v ON v.id = d.doc_id
+        """,
         "dedup_minhash": f"""
             WITH base AS (
               SELECT doc_id AS id,
                      list_sort(list_distinct({_TOKS})) AS sh
               FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
             ),
             sig AS (SELECT id, {_MINHASH_SIG_SQL} AS sig FROM base),
             banded AS (
@@ -654,6 +740,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(tot_train) AS BIGINT) AS n_train,
                    CAST(max(tot_test) AS BIGINT) AS n_test
             FROM enr GROUP BY event_type
+        """,
+        # q_advanced_checks drift subset: exact two-sample KS over the
+        # deterministic (ts, event_id) temporal split, Kolmogorov-series
+        # asymptotic p — mirrors engine/drift.py::ks_2samp_numpy term by term
+        # (λ = (√en + 0.12 + 0.11/√en)·D, p = 2·Σ₁¹⁰⁰ (−1)^{k−1}·e^{−2k²λ²}).
+        "advanced_checks": """
+            WITH base AS (
+              SELECT user_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            ),
+            split AS (
+              SELECT user_id, value,
+                     CASE WHEN rn <= n // 2 THEN 0 ELSE 1 END AS s
+              FROM base WHERE n >= 8
+            ),
+            imputed AS (
+              SELECT user_id, s,
+                     coalesce(value, avg(value) OVER (PARTITION BY user_id, s)) AS v
+              FROM split
+            ),
+            pts AS (SELECT * FROM imputed WHERE v IS NOT NULL),
+            counts AS (
+              SELECT user_id,
+                     sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS n1,
+                     sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n2
+              FROM pts GROUP BY user_id
+            ),
+            cdf AS (
+              SELECT user_id,
+                     sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) OVER w AS c1,
+                     sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) OVER w AS c2
+              FROM pts
+              WINDOW w AS (PARTITION BY user_id ORDER BY v
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            dstat AS (
+              SELECT c.user_id,
+                     max(abs(c1 / CAST(n1 AS DOUBLE)
+                             - c2 / CAST(n2 AS DOUBLE))) AS d,
+                     max(n1) AS n1, max(n2) AS n2
+              FROM cdf c JOIN counts USING (user_id)
+              GROUP BY c.user_id
+              HAVING max(n1) >= 3 AND max(n2) >= 3
+            ),
+            lam AS (
+              SELECT user_id, d,
+                     (sqrt(n1 * CAST(n2 AS DOUBLE) / (n1 + n2)) + 0.12
+                      + 0.11 / sqrt(n1 * CAST(n2 AS DOUBLE) / (n1 + n2))) * d AS lam
+              FROM dstat
+            ),
+            pv AS (
+              SELECT user_id,
+                     least(1.0, greatest(0.0,
+                       2.0 * list_sum(list_transform(range(1, 101),
+                         k -> (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                              * exp(-2.0 * k * k * lam * lam))))) AS p
+              FROM lam
+            )
+            SELECT CAST(user_id AS VARCHAR) AS group_key,
+                   'value' AS feature,
+                   round(p, 6) AS p_value,
+                   p < 0.05 AS flagged
+            FROM pv
         """,
         "doc_rule_violations": _DOC_VIOLATIONS_SQL,
         "doc_source_verdicts": f"""

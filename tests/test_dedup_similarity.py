@@ -78,27 +78,17 @@ def test_minhash_lsh_agrees_with_exact_jaccard(corpus):
 
 
 def test_simhash_signature_matches_python_reference(spark, corpus):
-    sigs = {r.id: r.simhash for r in simhash_signatures(corpus.limit(5)).collect()}
+    from datavalidation_spark.operators.dedup import simhash64_py
 
-    def fnv(tok):
-        acc = 0xCBF29CE484222325
-        for ch in tok.encode("utf-8"):
-            acc = ((acc ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return acc
+    rows = simhash_signatures(corpus.limit(5)).collect()
+    sigs = {r.id: r.simhash for r in rows}
+    hexes = {r.id: r.simhash_hex for r in rows}
 
-    row = corpus.select("doc_id", "text").limit(5).collect()[0]
-    toks = row.text.lower().split()
-    votes = [0] * 64
-    for t in toks:
-        h = fnv(t)
-        for b in range(64):
-            votes[b] += 1 if (h >> b) & 1 else -1
-    want = 0
-    for b in range(64):
-        if votes[b] > 0:
-            want |= 1 << b
-    want = want - (1 << 64) if want >= (1 << 63) else want
-    assert sigs[row.doc_id] == want
+    for row in corpus.select("doc_id", "text").limit(5).collect():
+        toks = row.text.strip().lower().split() if row.text else []
+        want = simhash64_py(toks)
+        assert sigs[row.doc_id] == want
+        assert hexes[row.doc_id] == f"{want & ((1 << 64) - 1):016x}"
 
 
 def test_simhash_pairs_find_near_dups(corpus):
