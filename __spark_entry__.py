@@ -301,20 +301,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact; Arrow GEMM fast path,
-    4-dp rounding absorbs summation-order float noise)."""
-    from datavalidation_spark.operators.similarity import cosine_pairs_fast
+    """Embedding-cosine near-dup pairs via the SCALE path: md5-Rademacher
+    LSH bucket blocking + exact GEMM rerank inside buckets (applyInPandas —
+    no driver collect anywhere in the plan; replaces the round-1 broadcast
+    of the whole corpus). The DuckDB oracle regenerates the identical
+    hyperplane literals, so blocking + rerank match value-for-value."""
+    from datavalidation_spark.operators.similarity import lsh_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_pairs_fast(emb, threshold=0.4, round_dp=4)
+    return lsh_near_dup_pairs(
+        emb, threshold=0.4, n_bits=4, n_tables=8, dim=64, round_dp=4
+    )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for the first 20 query vectors."""
+    """Brute-force cosine top-5 for the first 20 query vectors (the exact
+    baseline the LSH path is measured against)."""
     from datavalidation_spark.operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk(emb.where(F.col("vec_id") < 20), emb, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via md5-Rademacher LSH candidate generation + exact rerank
+    — the bucketed scale path in the hard correctness gate (round-1 carried
+    only the quadratic brute force here)."""
+    from datavalidation_spark.operators.similarity import lsh_topk_md5
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk_md5(
+        emb.where(F.col("vec_id") < 20), emb, k=5, n_bits=4, n_tables=8, dim=64
+    )
 
 
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,17 +447,106 @@ def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based single-pass profile (SURVEY A8: HLL cardinality, GK
-    quantiles) over lineitem — rows-only driver check (sketch estimates are
-    engine-specific by construction; exact variants are oracle-checked in
-    profile_documents)."""
-    from datavalidation_spark.engine.profiling import profile
+    """Sketch-vs-exact profile (SURVEY A8: HLL cardinality, GK quantiles)
+    over lineitem, ONE aggregation pass. Sketch estimates are engine-
+    specific by construction, so the driver-facing columns are the exact
+    scalars plus tolerance booleans (hll_ok / q_ok) — the DuckDB oracle
+    reproduces the exact scalars and asserts the booleans TRUE, turning
+    sketch accuracy into a hard gate instead of a rows-only check."""
+    from datavalidation_spark.engine.profiling import profile_with_bounds
 
     li = _t(spark, sf_dir, "lineitem")
-    return profile(li, ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"])
+    return profile_with_bounds(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maritime catalog in the driver contract (SURVEY §2.7, VERDICT r1 missing #3)
+# ---------------------------------------------------------------------------
+# The driver tables carry no maritime columns, so the fixture is DERIVED
+# deterministically from `events` with SQL expressions that parse identically
+# in Spark and DuckDB (pure integer arithmetic + double division — bit-exact
+# in both engines). The Spark side evaluates the real rule catalog
+# (rules/maritime.py::perf_summary_rules); the oracle transcribes each rule's
+# fire predicate + remark mechanically over the same CTE.
+
+_MARITIME_CTX_COLS: list[tuple[str, str]] = [
+    ("event", "CASE WHEN event_id % 10 <= 5 THEN 'NOON AT SEA' "
+              "WHEN event_id % 10 <= 7 THEN 'NOON AT PORT' "
+              "WHEN event_id % 10 = 8 THEN 'END OF SEA PASSAGE' END"),
+    ("actual_me_consumption",
+     "CASE WHEN event_id % 13 = 0 THEN NULL WHEN event_id % 17 = 0 THEN -1.5 "
+     "WHEN event_id % 19 = 0 THEN 75.0 ELSE (event_id * 7 % 400) / 10.0 END"),
+    ("actual_me_power",
+     "CASE WHEN event_id % 11 = 0 THEN NULL "
+     "ELSE CAST(event_id * 13 % 20000 + 500 AS DOUBLE) END"),
+    ("me_rpm", "CASE WHEN event_id % 23 = 0 THEN 0.0 "
+               "ELSE CAST(40 + event_id * 3 % 80 AS DOUBLE) END"),
+    ("steaming_time_hrs",
+     "CASE WHEN event_id % 29 = 0 THEN 0.0 WHEN event_id % 31 = 0 THEN NULL "
+     "ELSE CAST(event_id % 24 + 1 AS DOUBLE) END"),
+    ("vessel_type", "CASE WHEN user_id % 3 = 0 THEN 'CONTAINER' "
+                    "WHEN user_id % 3 = 1 THEN 'TANKER' END"),
+    ("vessel_type_speed", "CASE WHEN user_id % 3 = 0 THEN 'container' "
+                          "WHEN user_id % 3 = 1 THEN 'tanker' ELSE 'unknown' END"),
+    ("observed_speed",
+     "CASE WHEN event_id % 37 = 0 THEN NULL WHEN event_id % 41 = 0 THEN -3.0 "
+     "ELSE (event_id * 11 % 250) / 10.0 END"),
+    ("observed_distance", "CASE WHEN event_id % 43 = 0 THEN NULL "
+                          "ELSE (event_id * 5 % 5000) / 10.0 END"),
+    ("engine_distance",
+     "CASE WHEN event_id % 43 = 0 THEN NULL ELSE (event_id * 5 % 5000) / 10.0 "
+     "+ CASE WHEN event_id % 7 = 0 THEN -5.0 ELSE 2.0 END END"),
+    ("slip_pct", "CASE WHEN event_id % 47 = 0 THEN NULL "
+                 "WHEN event_id % 53 = 0 THEN 60.0 "
+                 "ELSE CAST(event_id % 90 - 45 AS DOUBLE) END"),
+    ("displacement", "CAST(50000 + event_id % 30000 AS DOUBLE)"),
+    ("hull_factor", "1.0 + (event_id % 10) / 100.0"),
+    ("consp_speed1", "(10 + user_id % 5) / 10.0"),
+    ("consp_disp1", "(user_id * 7 % 100) / 1000000.0"),
+    ("consp_speed2", "(user_id % 5) / 100.0"),
+    ("consp_disp2", "(user_id * 11 % 100) / 100000000000.0"),
+    ("consp_intercept", "(user_id % 40) / 10.0"),
+    ("has_coefficients", "user_id % 4 <> 0"),
+    ("me_hist_avg", "CASE WHEN event_id % 3 = 0 THEN NULL "
+                    "ELSE CAST(20 + user_id % 10 AS DOUBLE) END"),
+    ("load_type", "CASE WHEN user_id % 2 = 0 THEN 'Laden' ELSE 'Ballast' END"),
+    ("aux_engine_consumption",
+     "CASE WHEN event_id % 61 = 0 THEN NULL WHEN event_id % 67 = 0 THEN 0.0 "
+     "ELSE (event_id * 3 % 300) / 10.0 END"),
+    ("avg_ae_power", "CASE WHEN event_id % 71 = 0 THEN NULL "
+                     "ELSE CAST(200 + event_id % 1000 AS DOUBLE) END"),
+    ("total_ae_running_hours", "CAST(event_id % 24 AS DOUBLE)"),
+    ("ae_hist_avg", "CASE WHEN event_id % 5 = 0 THEN NULL "
+                    "ELSE CAST(10 + user_id % 5 AS DOUBLE) END"),
+    ("boiler_consumption",
+     "CASE WHEN event_id % 73 = 0 THEN NULL WHEN event_id % 79 = 0 THEN -2.0 "
+     "ELSE CAST(event_id % 110 AS DOUBLE) END"),
+    ("mcr_kw", "CASE WHEN event_id % 83 = 0 THEN NULL "
+               "ELSE CAST(10000 + user_id % 5000 AS DOUBLE) END"),
+]
+
+
+def q_maritime_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship §2.7 rule catalog (ME/AE/boiler/speed/slip — 35 rules)
+    compiled to one vectorized projection over the deterministic maritime
+    fixture, emitting (vessel, report_seq, rule_id, severity, remarks) with
+    remark-string parity checked by the DuckDB oracle."""
+    from datavalidation_spark.rules.core import violations
+    from datavalidation_spark.rules.maritime import perf_summary_rules
+
+    ev = _t(spark, sf_dir, "events")
+    ctx = ev.select(
+        F.col("user_id").cast("string").alias("vessel"),
+        F.col("event_id").alias("report_seq"),
+        *[F.expr(sql).alias(name) for name, sql in _MARITIME_CTX_COLS],
+    )
+    return violations(ctx, perf_summary_rules(), ["vessel", "report_seq"])
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "maritime_catalog": q_maritime_catalog,
     "physics_model_check": q_physics_model_check,
     "group_topk": q_group_topk,
     "profile_sketches": q_profile_sketches,
@@ -450,6 +557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "drift_events": q_drift_events,
     "advanced_checks": q_advanced_checks,
     "advanced_anomaly": q_advanced_anomaly,
@@ -528,6 +636,188 @@ _MINHASH_SIG_SQL = "[" + ", ".join(
     for i in range(16)
 ) + "]"
 
+# Maritime oracle: ctx CTE = the shared fixture expressions + derived
+# quantities, then one UNION ALL branch per rule transcribing
+# rules/maritime.py's fire predicate and remark.
+def _maritime_oracle_sql() -> str:
+    cols = ",\n      ".join(f"{sql} AS {name}" for name, sql in _MARITIME_CTX_COLS)
+    mec = "actual_me_consumption"
+    aec = "aux_engine_consumption"
+    blc = "boiler_consumption"
+    spd = "observed_speed"
+    rules = [
+        # --- ME ---
+        ("ME-MISS", "error", "'ME Consumption data is missing'",
+         f"{mec} IS NULL"),
+        ("ME-RANGE", "error", "'ME Consumption out of range'",
+         f"{mec} IS NOT NULL AND NOT coalesce({mec} BETWEEN 0 AND 50, FALSE)"),
+        ("ME-POWER", "error", "'ME Consumption too high for the Reported power'",
+         f"{mec} IS NOT NULL AND me_max_allowed IS NOT NULL "
+         f"AND me_max_allowed <> 0 AND {mec} > me_max_allowed"),
+        ("ME-ZERO-UW", "error", "'ME Consumption cannot be zero when underway'",
+         f"{mec} IS NOT NULL AND me_rpm IS NOT NULL AND me_rpm > 0 AND {mec} = 0"),
+        ("ME-TYPEMAX", "error",
+         "'ME Consumption too high for ' || coalesce(vessel_type, 'None') || ' vessel'",
+         f"{mec} IS NOT NULL AND {mec} > me_type_max"),
+        ("ME-HIST", "error",
+         "'ME Consumption outside typical range of ' || coalesce(load_type, 'None') || ' condition'",
+         f"{mec} IS NOT NULL AND me_hist_avg IS NOT NULL AND NOT coalesce("
+         f"{mec} BETWEEN me_hist_avg * 0.8 AND me_hist_avg * 1.2, FALSE)"),
+        ("ME-EXPECT", "error",
+         "'ME Consumption not aligned with speed consumption table (including hull performance)'",
+         f"{mec} IS NOT NULL AND has_coefficients AND steaming_time_hrs IS NOT NULL "
+         f"AND steaming_time_hrs > 0 AND NOT coalesce("
+         f"{mec} BETWEEN me_expected * 0.8 AND me_expected * 1.2, FALSE)"),
+        ("ME-NEG", "error", "'ME Consumption cannot be negative'",
+         f"{mec} IS NOT NULL AND {mec} < 0"),
+        # --- AE ---
+        ("AE-MISS", "error", "'AE Consumption data is missing'", f"{aec} IS NULL"),
+        ("AE-RANGE", "error", "'AE Consumption out of range'",
+         f"{aec} IS NOT NULL AND NOT coalesce({aec} BETWEEN 0 AND 50, FALSE)"),
+        ("AE-POWER", "error", "'AE Consumption too high for the Reported power'",
+         f"{aec} IS NOT NULL AND ae_max_allowed IS NOT NULL "
+         f"AND ae_max_allowed <> 0 AND {aec} > ae_max_allowed"),
+        ("AE-ZERO-GEN", "error",
+         "'AE Consumption cannot be zero when generating power'",
+         f"{aec} IS NOT NULL AND avg_ae_power IS NOT NULL AND avg_ae_power > 0 AND {aec} = 0"),
+        ("AE-HIST", "error", "'AE Consumption outside typical range'",
+         f"{aec} IS NOT NULL AND ae_hist_avg IS NOT NULL AND NOT coalesce("
+         f"{aec} BETWEEN ae_hist_avg * 0.8 AND ae_hist_avg * 1.2, FALSE)"),
+        ("AE-ZERO-TOT", "error",
+         "'Total AE Consumption cannot be zero without Shaft Generator'",
+         f"{aec} IS NOT NULL AND {aec} = 0"),
+        ("AE-NEG", "error", "'AE Consumption cannot be negative'",
+         f"{aec} IS NOT NULL AND {aec} < 0"),
+        # --- Boiler ---
+        ("BLR-MISS", "error", "'Boiler Consumption data is missing'",
+         f"{blc} IS NULL"),
+        ("BLR-RANGE", "error", "'Boiler Consumption out of range'",
+         f"{blc} IS NOT NULL AND NOT coalesce({blc} BETWEEN 0 AND 100, FALSE)"),
+        ("BLR-CARGO", "error",
+         "'Boiler Consumption cannot be less than Cargo Heating Consumption'",
+         f"{blc} IS NOT NULL AND {blc} < 0"),
+        ("BLR-SEALOAD", "warning",
+         "'Warning: Boiler Consumption expected to be zero at high ME Load during sea passage'",
+         f"{blc} IS NOT NULL AND event = 'NOON AT SEA' AND mcr_kw IS NOT NULL "
+         f"AND me_load IS NOT NULL AND me_load > 40 AND {blc} > 0"),
+        # --- Speed ---
+        ("SPD-NEG", "error", "'Observed Speed cannot be negative'",
+         f"has_speed AND {spd} < 0"),
+        ("SPD-LOW-SEA", "error", "'Unusually low speed for sea passage'",
+         f"has_speed AND event = 'NOON AT SEA' AND {spd} <= 5"),
+        ("SPD-MANEUV", "error", "'Unusual speed for maneuvering'",
+         f"has_speed AND event = 'END OF SEA PASSAGE' "
+         f"AND NOT coalesce({spd} BETWEEN 2 AND 5, FALSE)"),
+        ("SPD-PORT", "error", "'Speed should be zero when in port'",
+         f"has_speed AND event = 'NOON AT PORT' AND {spd} <> 0"),
+        ("SPD-TYPEMAX-C", "error", "'Speed too high for container vessel'",
+         f"has_speed AND vessel_type_speed = 'container' AND {spd} > 35"),
+        ("SPD-TYPEMAX-NC", "error", "'Speed too high for non-container vessel'",
+         f"has_speed AND vessel_type_speed <> 'container' AND {spd} > 20"),
+        ("SPD-DIST-ZERO", "error",
+         "'Observed distance is non-zero but steaming hours is zero'",
+         "has_speed AND steaming_time_hrs IS NOT NULL AND observed_distance IS NOT NULL "
+         "AND steaming_time_hrs = 0 AND observed_distance <> 0"),
+        ("SPD-RATIO", "error",
+         "'Observed Speed not aligned with distance and time'",
+         f"has_speed AND steaming_time_hrs IS NOT NULL AND observed_distance IS NOT NULL "
+         f"AND coalesce(spd_expected <> 0, FALSE) AND NOT coalesce("
+         f"{spd} / spd_expected BETWEEN 0.9 AND 1.1, FALSE)"),
+        ("SPD-INCONSIST", "error",
+         "'Inconsistent data: Speed > 0 but engine parameters indicate no movement'",
+         f"has_speed AND {spd} > 0 AND (coalesce(me_rpm = 0, FALSE) "
+         f"OR coalesce(steaming_time_hrs = 0, FALSE) "
+         f"OR coalesce({mec} = 0, FALSE))"),
+        ("SPD-MISS-SEA", "error", "'Speed data is missing for NOON AT SEA event'",
+         f"spd_applicable AND event = 'NOON AT SEA' AND {spd} IS NULL"),
+        # --- Slip ---
+        ("SLP-RANGE", "error",
+         "'ValidationError: Slip percentage out of typical range (-50 to 50)'",
+         "slip_pct IS NOT NULL AND NOT coalesce(slip_pct BETWEEN -50 AND 50, FALSE)"),
+        ("SLP-NOT-SEA", "error",
+         "'ValidationError: Slip should only be calculated during sea passage'",
+         "slip_pct IS NOT NULL AND coalesce((event <> 'NOON AT SEA') OR event IS NULL, FALSE)"),
+        ("SLP-WARN", "warning",
+         "'Warning: High slip percentage. Check Observed Distance and Engine Distance'",
+         "slip_pct IS NOT NULL AND slip_pct > 30"),
+        ("SLP-MISS", "error", "'ValidationError: Slip percentage is missing'",
+         "slip_pct IS NULL"),
+        ("SLP-DIST-POS", "error",
+         "'ValidationError: Observed or Engine Distance should be greater than zero'",
+         "observed_distance IS NOT NULL AND engine_distance IS NOT NULL "
+         "AND (observed_distance <= 0 OR engine_distance <= 0)"),
+        ("SLP-ENG-LT-OBS", "error",
+         "'ValidationError: Engine Distance is less than Observed Distance'",
+         "observed_distance IS NOT NULL AND engine_distance IS NOT NULL "
+         "AND NOT (observed_distance <= 0 OR engine_distance <= 0) "
+         "AND engine_distance < observed_distance"),
+    ]
+    branches = "\n            UNION ALL\n".join(
+        f"            SELECT vessel, report_seq, '{rid}' AS rule_id, "
+        f"'{sev}' AS severity, {remark} AS remarks FROM mctx WHERE {fire}"
+        for rid, sev, remark, fire in rules
+    )
+    return f"""
+            WITH ctx AS (
+              SELECT CAST(user_id AS VARCHAR) AS vessel, event_id AS report_seq,
+                     {cols}
+              FROM events
+            ),
+            mctx AS (
+              SELECT *,
+                CASE WHEN actual_me_power IS NOT NULL AND steaming_time_hrs IS NOT NULL
+                          AND actual_me_power > 0
+                     THEN 250.0 * actual_me_power * steaming_time_hrs / 1000000.0
+                END AS me_max_allowed,
+                CASE WHEN avg_ae_power IS NOT NULL AND total_ae_running_hours IS NOT NULL
+                          AND avg_ae_power > 0
+                     THEN 300.0 * avg_ae_power * total_ae_running_hours / 1000000.0
+                END AS ae_max_allowed,
+                CASE WHEN vessel_type = 'CONTAINER' THEN 300.0 ELSE 50.0 END AS me_type_max,
+                (consp_speed1 * observed_speed + consp_disp1 * displacement
+                 + consp_speed2 * observed_speed * observed_speed
+                 + consp_disp2 * displacement * displacement
+                 + consp_intercept) * hull_factor AS me_expected,
+                CASE WHEN actual_me_power IS NOT NULL AND mcr_kw IS NOT NULL AND mcr_kw <> 0
+                     THEN actual_me_power * 100.0 / mcr_kw END AS me_load,
+                (NOT ((event <> 'NOON AT SEA') OR event IS NULL)
+                 OR observed_speed IS NOT NULL) AS spd_applicable,
+                ((NOT ((event <> 'NOON AT SEA') OR event IS NULL)
+                  OR observed_speed IS NOT NULL)
+                 AND observed_speed IS NOT NULL) AS has_speed,
+                CASE WHEN steaming_time_hrs = 0 THEN 0.0
+                     ELSE observed_distance / steaming_time_hrs END AS spd_expected
+              FROM ctx
+            )
+{branches}
+    """
+
+
+# md5-Rademacher LSH bucket expressions — regenerated from the SAME sign
+# source as operators/similarity.py::rademacher_planes, so the oracle's
+# blocking is literal-for-literal identical to the Spark plan.
+def _lsh_bucket_sql(t: int, n_bits: int, dim: int) -> str:
+    from datavalidation_spark.operators.similarity import _md5_sign
+
+    bits = []
+    for b in range(n_bits):
+        terms = "".join(
+            f" {'+' if _md5_sign(t, b, d) > 0 else '-'} v[{d + 1}]"
+            for d in range(dim)
+        )
+        bits.append(f"(CASE WHEN 0.0{terms} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+_LSH_BUCKETS_SQL = (
+    "bvec AS (SELECT vec_id, embedding AS v FROM embeddings),\n  buckets AS (\n"
+    + "\n    UNION ALL\n".join(
+        f"    SELECT vec_id, {t} AS tbl, {_lsh_bucket_sql(t, 4, 64)} AS bucket FROM bvec"
+        for t in range(8)
+    )
+    + "\n  )"
+)
+
 _NORM_EMB_SQL = """
   n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
@@ -537,6 +827,7 @@ _NORM_EMB_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "maritime_catalog": _maritime_oracle_sql(),
         "physics_model_check": """
             SELECT l_orderkey, l_linenumber, 'PRICE-MODEL' AS rule_id
             FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
@@ -676,11 +967,26 @@ def oracle_sql() -> dict[str, str]:
                         / 16.0, 6) >= 0.5
         """,
         "embedding_near_dup": f"""
-            WITH {_NORM_EMB_SQL}
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
-            FROM u a JOIN u b ON a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4
+            WITH {_LSH_BUCKETS_SQL},
+            sized AS (
+              SELECT vec_id, tbl, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bsz
+                FROM buckets
+              ) WHERE bsz <= 2000
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+              FROM sized a JOIN sized b2 USING (tbl, bucket)
+              WHERE a.vec_id < b2.vec_id
+            ),
+            {_NORM_EMB_SQL}
+            SELECT c.id_a, c.id_b,
+                   round(list_dot_product(ua.v, ub.v) / (ua.nrm * ub.nrm), 4)
+                       AS cosine
+            FROM cand c
+            JOIN u ua ON ua.vec_id = c.id_a
+            JOIN u ub ON ub.vec_id = c.id_b
+            WHERE round(list_dot_product(ua.v, ub.v) / (ua.nrm * ub.nrm), 4) >= 0.4
         """,
         "ann_topk": f"""
             WITH {_NORM_EMB_SQL},
@@ -689,6 +995,28 @@ def oracle_sql() -> dict[str, str]:
                      round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
               FROM u q JOIN u c ON q.vec_id != c.vec_id
               WHERE q.vec_id < 20
+            )
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ann_lsh_topk": f"""
+            WITH {_LSH_BUCKETS_SQL},
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM buckets q JOIN buckets c USING (tbl, bucket)
+              WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+            ),
+            {_NORM_EMB_SQL},
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     round(list_dot_product(uq.v, uc.v) / (uq.nrm * uc.nrm), 6)
+                         AS cosine
+              FROM cand
+              JOIN u uq ON uq.vec_id = query_id
+              JOIN u uc ON uc.vec_id = neighbor_id
             )
             SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id
@@ -871,6 +1199,38 @@ def oracle_sql() -> dict[str, str]:
                                         AS DOUBLE) / count(*) / 100.0, 4)
                    END AS trailing_avg
             FROM ranked WHERE rn <= 30 GROUP BY user_id
+        """,
+        "profile_sketches": """
+            SELECT 'l_quantity' AS column, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+                   count(DISTINCT l_quantity) AS exact_distinct,
+                   round(CAST(min(l_quantity) AS DOUBLE), 6) AS min_num,
+                   round(CAST(max(l_quantity) AS DOUBLE), 6) AS max_num,
+                   TRUE AS hll_ok, TRUE AS q_ok
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*),
+                   CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT l_extendedprice),
+                   round(CAST(min(l_extendedprice) AS DOUBLE), 6),
+                   round(CAST(max(l_extendedprice) AS DOUBLE), 6),
+                   TRUE, TRUE
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(*),
+                   CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT l_discount),
+                   round(CAST(min(l_discount) AS DOUBLE), 6),
+                   round(CAST(max(l_discount) AS DOUBLE), 6),
+                   TRUE, TRUE
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', count(*),
+                   CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT l_returnflag),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   TRUE, TRUE
+            FROM lineitem
         """,
         "profile_documents": """
             SELECT count(*) AS n_rows,

@@ -1,12 +1,13 @@
 """Audit table + partition-grain checkpoint/resume (north_rule:
 "resumable from checkpoint with per-partition lineage + metrics").
 
-Layout (parquet here; the write path is format-agnostic — swap ``parquet``
-for ``iceberg``/``delta`` in production for ACID commits):
+Layout (default backend = Iceberg-style atomic manifest commits,
+``engine/acid.py`` — swap for a real Iceberg/Delta catalog in production
+behind the same AuditLog interface):
 
-    <audit_dir>/verdicts/    one row per (run_id, part_id): lineage + metrics,
-                             appended per completed partition batch
-    <audit_dir>/violations/  violation rows, partitioned by part_id
+    <audit_dir>/verdicts/    one row per (run_id, part_id): lineage + metrics
+    <audit_dir>/violations/  violation rows (+ run_id)
+    <audit_dir>/_commits/    atomic commit manifests (manifest backend)
 
 Resume = anti-join the input's partition ids against already-recorded
 verdicts for the same (rule_version, snapshot_id) — an application-level
@@ -30,25 +31,48 @@ from datavalidation_spark.engine.validate import ValidationResult, validate_docu
 
 
 class AuditLog:
-    def __init__(self, audit_dir: str):
+    """Audit sink with two backends:
+
+    * ``backend="manifest"`` (default) — Iceberg-style atomic commits via
+      :class:`~datavalidation_spark.engine.acid.ManifestLog`: verdicts AND
+      violations of a run become visible in ONE filesystem-atomic step, so a
+      mid-record crash can never leave violations without their verdicts
+      (ADVICE r1 atomicity fix).
+    * ``backend="parquet"`` — plain append dirs (round-1 layout, kept for
+      compatibility). Verdicts are written LAST (resume-safe ordering) and
+      :meth:`read_violations` reconciles against recorded verdicts so
+      orphaned rows from a crash are filtered at read time instead of
+      double-counting after the resume re-validates.
+    """
+
+    def __init__(self, audit_dir: str, backend: str = "manifest"):
+        from datavalidation_spark.engine.acid import ManifestLog
+
+        if backend not in ("manifest", "parquet"):
+            raise ValueError(f"unknown audit backend: {backend}")
         self.audit_dir = audit_dir
+        self.backend = backend
         self.verdicts_path = os.path.join(audit_dir, "verdicts")
         self.violations_path = os.path.join(audit_dir, "violations")
+        self.manifest = ManifestLog(audit_dir)
 
-    def _verdicts_exist(self, spark: SparkSession) -> bool:
+    def _read_verdicts(self, spark: SparkSession) -> DataFrame | None:
+        if self.backend == "manifest":
+            return self.manifest.read(spark, "verdicts")
         try:
-            spark.read.parquet(self.verdicts_path).limit(1).collect()
-            return True
+            df = spark.read.parquet(self.verdicts_path)
+            df.limit(1).collect()
+            return df
         except Exception:
-            return False
+            return None
 
     def validated_partitions(
         self, spark: SparkSession, rule_version: str, snapshot_id: str
     ) -> DataFrame | None:
         """part_ids already validated for this (rule_version, snapshot)."""
-        if not self._verdicts_exist(spark):
+        v = self._read_verdicts(spark)
+        if v is None:
             return None
-        v = spark.read.parquet(self.verdicts_path)
         return (
             v.where(
                 (F.col("rule_version") == rule_version)
@@ -56,6 +80,29 @@ class AuditLog:
             )
             .select("part_id")
             .distinct()
+        )
+
+    def read_violations(self, spark: SparkSession) -> DataFrame | None:
+        """Committed violation rows, consistent with verdicts.
+
+        Manifest backend: trivially consistent (atomic commits). Parquet
+        backend: semi-join on (run_id, part_id) pairs present in verdicts —
+        rows from a run that crashed before its verdict write are dropped,
+        so reports never double-count after resume."""
+        if self.backend == "manifest":
+            return self.manifest.read(spark, "violations")
+        try:
+            viol = spark.read.parquet(self.violations_path)
+            viol.limit(1).collect()
+        except Exception:
+            return None
+        verd = self._read_verdicts(spark)
+        if verd is None:
+            return viol.limit(0)
+        return viol.join(
+            F.broadcast(verd.select("run_id", "part_id").distinct()),
+            ["run_id", "part_id"],
+            "left_semi",
         )
 
     def record(
@@ -67,8 +114,7 @@ class AuditLog:
         input_manifest: str,
         run_ts: float | None = None,
     ) -> None:
-        """Append verdicts (with lineage) and violations. Violations are
-        written partitioned by part_id so resume reads prune by directory."""
+        """Record verdicts (with lineage) and violations for one run."""
         ts = run_ts if run_ts is not None else time.time()
         verdicts = result.verdicts.withColumns(
             {
@@ -79,7 +125,20 @@ class AuditLog:
                 "validated_at": F.lit(ts),
             }
         )
-        result.violations.write.mode("append").partitionBy("part_id").parquet(
+        violations = result.violations.withColumn("run_id", F.lit(run_id))
+        if self.backend == "manifest":
+            self.manifest.commit(
+                {"violations": violations, "verdicts": verdicts},
+                meta={
+                    "run_id": run_id,
+                    "rule_version": rule_version,
+                    "snapshot_id": snapshot_id,
+                    "input_manifest": input_manifest,
+                    "validated_at": ts,
+                },
+            )
+            return
+        violations.write.mode("append").partitionBy("part_id").parquet(
             self.violations_path
         )
         verdicts.write.mode("append").parquet(self.verdicts_path)
@@ -109,6 +168,7 @@ def run_resumable(
     asset_catalog: DataFrame | None = None,
     partition_col: str = "part_id",
     only_partitions: list | None = None,
+    backend: str = "manifest",
 ) -> int:
     """Validate only partitions not yet recorded; append to audit.
 
@@ -123,7 +183,7 @@ def run_resumable(
     pending. ``only_partitions`` caps this run to a partition subset
     (operational throttle; also how tests simulate a mid-job kill).
     """
-    audit = AuditLog(audit_dir)
+    audit = AuditLog(audit_dir, backend=backend)
     done = audit.validated_partitions(spark, rule_version, snapshot_id)
     pending = docs
     if done is not None:

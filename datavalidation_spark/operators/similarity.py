@@ -177,14 +177,22 @@ def rademacher_planes(n_tables: int, n_bits: int, dim: int) -> list[list[list[in
 
 
 def _sign_bucket_expr(vec: Column, plane: list[list[int]]) -> Column:
-    """Bit-string bucket key for one table (strict left-to-right fold)."""
+    """Bit-string bucket key for one table (strict left-to-right fold).
+
+    Expressed as zip_with(·,±1.0)→aggregate rather than a chained ±v[d]
+    expression: a 64-term chain × 32 bits overflows janino's 64 KB method
+    limit and kicks the whole projection out of codegen. x·(−1.0) ≡ −x and
+    aggregate folds left-to-right, so the result is bit-identical to the
+    oracle's explicit `0.0 + v[1] - v[2] …` chain."""
     bits = []
     for signs in plane:
-        acc: Column = F.lit(0.0)
-        for d, s in enumerate(signs):
-            e = vec[d].cast("double")
-            acc = (acc + e) if s > 0 else (acc - e)
-        bits.append(F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0")))
+        lits = F.array(*[F.lit(float(s)) for s in signs])
+        dot = F.aggregate(
+            F.zip_with(vec, lits, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 

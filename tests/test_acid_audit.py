@@ -1,0 +1,118 @@
+"""ACID audit-sink tests: atomic visibility, crash consistency, and the
+parquet-backend read-time reconciliation (ADVICE r1 atomicity item)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from datavalidation_spark.datagen import synth_documents
+from datavalidation_spark.engine.acid import ManifestLog
+from datavalidation_spark.engine.audit import AuditLog, run_resumable
+from datavalidation_spark.engine.validate import validate_documents
+
+
+def test_manifest_commit_is_atomic(spark, tmp_path):
+    """Staged-but-uncommitted data files are invisible; a commit publishes
+    every table of the transaction at once."""
+    log = ManifestLog(str(tmp_path / "m"))
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+
+    # stage WITHOUT committing (simulates a crash mid-record)
+    log._stage("t1", df)
+    assert log.read(spark, "t1") is None
+
+    # now a real two-table commit
+    seq = log.commit({"t1": df, "t2": df.limit(3)})
+    assert seq == 1
+    assert log.read(spark, "t1").count() == 10
+    assert log.read(spark, "t2").count() == 3
+
+    # second commit appends
+    log.commit({"t1": df.limit(5)})
+    assert log.read(spark, "t1").count() == 15
+
+
+def test_resume_on_manifest_backend(spark, tmp_path):
+    """The audit contract (N/2, N/2, 0) holds on the ACID path."""
+    docs = synth_documents(spark, 1000, dirty=True, n_parts=8)
+    d = str(tmp_path / "audit")
+    assert (
+        run_resumable(spark, docs, d, run_id="r1", only_partitions=[0, 1, 2, 3]) == 4
+    )
+    assert run_resumable(spark, docs, d, run_id="r2") == 4
+    assert run_resumable(spark, docs, d, run_id="r3") == 0
+
+    audit = AuditLog(d)
+    verd = audit.manifest.read(spark, "verdicts")
+    assert verd.select("part_id").distinct().count() == 8
+    viol = audit.read_violations(spark)
+    # every violation's partition has a verdict (atomic by construction)
+    orphans = viol.join(
+        verd.select("part_id").distinct(), "part_id", "left_anti"
+    ).count()
+    assert orphans == 0
+
+
+def test_crashed_record_is_invisible_and_resume_does_not_double_count(
+    spark, tmp_path
+):
+    """Crash between staging and commit: the partial run is invisible, the
+    resume re-validates, and violation counts match an uninterrupted run."""
+    docs = synth_documents(spark, 1000, dirty=True, n_parts=8)
+    d = str(tmp_path / "audit")
+    audit = AuditLog(d)
+
+    # run 1 validates half and CRASHES before commit: stage only
+    sub = docs.where(F.col("part_id") < 4)
+    res = validate_documents(sub, unique_scope=docs)
+    audit.manifest._stage("violations", res.violations.withColumn("run_id", F.lit("r1")))
+    audit.manifest._stage("verdicts", res.verdicts.withColumn("run_id", F.lit("r1")))
+    assert audit.validated_partitions(spark, "v1", "snap0") is None
+
+    # resume validates everything (nothing was committed)
+    assert run_resumable(spark, docs, d, run_id="r2") == 8
+
+    control = validate_documents(docs)
+    got = audit.read_violations(spark)
+    assert got.count() == control.violations.count()
+    assert sorted(
+        tuple(r) for r in got.select("doc_id", "rule_id").collect()
+    ) == sorted(tuple(r) for r in control.violations.select("doc_id", "rule_id").collect())
+
+
+def test_parquet_backend_reconciles_orphan_violations(spark, tmp_path):
+    """Legacy append backend: violations written without verdicts (crash
+    between the two writes) are filtered out by read_violations."""
+    docs = synth_documents(spark, 500, dirty=True, n_parts=4)
+    d = str(tmp_path / "audit")
+    audit = AuditLog(d, backend="parquet")
+
+    # crash simulation: violations of r0 land, verdicts never do
+    res = validate_documents(docs)
+    res.violations.withColumn("run_id", F.lit("r0")).write.mode("append").partitionBy(
+        "part_id"
+    ).parquet(audit.violations_path)
+    assert audit.read_violations(spark).count() == 0  # no verdicts yet
+
+    # clean re-run records both; reconciled view sees exactly one copy
+    assert run_resumable(spark, docs, d, run_id="r1", backend="parquet") == 4
+    got = audit.read_violations(spark)
+    assert got.count() == res.violations.count()
+    assert got.select("run_id").distinct().collect()[0][0] == "r1"
+
+
+def test_concurrent_commit_seq_race(spark, tmp_path):
+    """Losing an O_EXCL race retries the next sequence (optimistic cc)."""
+    log = ManifestLog(str(tmp_path / "m"))
+    df = spark.range(3)
+    s1 = log.commit({"t": df})
+    # squat the next sequence number to force a retry
+    os.makedirs(log.commits_dir, exist_ok=True)
+    with open(os.path.join(log.commits_dir, f"{s1 + 1:08d}.json"), "w") as f:
+        f.write('{"tables": {}}')
+    s2 = log.commit({"t": df})
+    assert s2 == s1 + 2
+    assert len(glob.glob(os.path.join(log.commits_dir, "*.json"))) == 3

@@ -17,6 +17,7 @@ from datavalidation_spark.operators.dedup import (
 )
 from datavalidation_spark.operators.similarity import (
     cosine_pairs,
+    cosine_pairs_fast,
     cosine_topk,
     ivf_topk,
     lsh_topk,
@@ -156,3 +157,42 @@ def test_lsh_and_ivf_recall(spark, vectors):
     r_ivf = recall(ivf_topk(queries, vectors, k=10, n_cells=8, n_probe=4))
     assert r_lsh >= 0.3, r_lsh
     assert r_ivf >= 0.4, r_ivf
+
+
+def test_lsh_near_dup_pairs_subset_and_recall(spark):
+    """The contract scale path: every LSH pair is exact-verified (no false
+    positives by construction) and recall vs the exact quadratic baseline
+    stays useful at the contract parameters (measured 0.814 at sf0.01)."""
+    from datavalidation_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_fast(emb, threshold=0.4, round_dp=4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(
+            emb, threshold=0.4, n_bits=4, n_tables=8, dim=64
+        ).collect()
+    }
+    assert lsh <= exact, f"false positives: {lsh - exact}"
+    assert len(lsh & exact) / max(1, len(exact)) >= 0.6
+
+
+def test_lsh_topk_md5_recall(spark):
+    """Contract ANN path: recall@5 vs brute force (measured 0.64 at sf0.01
+    with 4 bits × 8 tables)."""
+    from datavalidation_spark.operators.similarity import lsh_topk_md5
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    brute: dict[int, set[int]] = {}
+    approx: dict[int, set[int]] = {}
+    for r in cosine_topk(queries, emb, k=5).collect():
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in lsh_topk_md5(queries, emb, k=5, n_bits=4, n_tables=8, dim=64).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(brute[q] & approx.get(q, set())) for q in brute)
+    total = sum(len(v) for v in brute.values())
+    assert hits / total >= 0.5, hits / total
