@@ -322,6 +322,9 @@ def advanced_checks_fn(
     order_cols: list[str] | None = None,
     prefer_scipy: bool = True,
     anomaly_max_rows: int = 4096,
+    checks: frozenset[str] | set[str] = frozenset(
+        {"anomaly", "drift", "change_point", "relationship"}
+    ),
 ):
     """Build the grouped-map function reproducing EP3
     (``advanced_validation.py:25-123``): temporal median split → train/test
@@ -336,7 +339,9 @@ def advanced_checks_fn(
     ``anomaly_max_rows`` caps the O(n²) LOF / iForest ensemble input with a
     deterministic evenly-spaced subsample — the drift/changepoint/MI checks
     still see the full group (they are linear), so only the anomaly check
-    degrades gracefully on pathologically large groups."""
+    degrades gracefully on pathologically large groups. ``checks`` selects
+    which check families run (a drift-only caller skips the expensive
+    ensemble entirely)."""
 
     if prefer_scipy:
         try:  # exact-parity lib when present
@@ -370,7 +375,7 @@ def advanced_checks_fn(
         Xtr = np.nan_to_num(Xtr)
 
         # M3: anomaly ensemble (LOF ∪ isolation forest) on test
-        if len(Xte) > 3:
+        if "anomaly" in checks and len(Xte) > 3:
             if len(Xte) > anomaly_max_rows:  # deterministic evenly-spaced cap
                 sel = np.linspace(0, len(Xte) - 1, anomaly_max_rows).astype(int)
             else:
@@ -392,7 +397,7 @@ def advanced_checks_fn(
             )
 
         # M4: per-feature two-sample KS drift
-        for f_ in feats:
+        for f_ in feats if "drift" in checks else []:
             a = train[f_].dropna().to_numpy(dtype=float)
             b = test[f_].dropna().to_numpy(dtype=float)
             if len(a) < 3 or len(b) < 3:
@@ -410,7 +415,7 @@ def advanced_checks_fn(
             )
 
         # M5: change points on test (first 3 features, as the reference)
-        for f_ in feats[:3]:
+        for f_ in feats[:3] if "change_point" in checks else []:
             series = test[f_].to_numpy(dtype=float)
             bps = pelt_changepoints(series, penalty=1.0)
             out.append(
@@ -423,7 +428,7 @@ def advanced_checks_fn(
 
         # M6: mutual information of predictors vs first feature, on train
         target = feats[0]
-        for f_ in feats[1:4]:
+        for f_ in feats[1:4] if "relationship" in checks else []:
             mi = binned_mutual_information(
                 train[f_].to_numpy(dtype=float), train[target].to_numpy(dtype=float)
             )
