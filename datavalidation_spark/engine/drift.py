@@ -249,23 +249,26 @@ def pelt_changepoints(y: np.ndarray, penalty: float = 1.0, min_size: int = 2) ->
     cs = np.concatenate([[0.0], np.cumsum(y)])
     cs2 = np.concatenate([[0.0], np.cumsum(y * y)])
 
-    def cost(s: int, t: int) -> float:  # segment [s, t)
-        seg = t - s
-        return float(cs2[t] - cs2[s] - (cs[t] - cs[s]) ** 2 / seg)
-
     fcost = np.full(n + 1, np.inf)
     fcost[0] = -penalty
     last = np.zeros(n + 1, dtype=int)
-    cands = [0]
+    cands = np.array([0], dtype=np.int64)
     for t in range(min_size, n + 1):
-        vals = [(fcost[s] + cost(s, t) + penalty, s) for s in cands if t - s >= min_size]
-        if not vals:
+        # vectorized segment costs for every candidate start at once
+        # (the per-candidate python loop was the sf0.1 hot spot: O(n²)
+        # python calls → O(n) numpy sweeps)
+        ok = cands[t - cands >= min_size]
+        if len(ok) == 0:
             continue
-        best, s_best = min(vals)
-        fcost[t] = best
-        last[t] = s_best
-        cands = [s for s in cands if fcost[s] + cost(s, t) <= fcost[t]] + [t - min_size + 1]
-        cands = sorted(set(c for c in cands if c <= t))
+        seg_cost = cs2[t] - cs2[ok] - (cs[t] - cs[ok]) ** 2 / (t - ok)
+        totals = fcost[ok] + seg_cost + penalty
+        i = int(np.argmin(totals))
+        fcost[t] = totals[i]
+        last[t] = ok[i]
+        all_cost = cs2[t] - cs2[cands] - (cs[t] - cs[cands]) ** 2 / (t - cands)
+        keep = cands[fcost[cands] + all_cost <= fcost[t]]
+        cands = np.unique(np.append(keep, t - min_size + 1))
+        cands = cands[cands <= t]
     bps = []
     t = n
     while t > 0:
