@@ -99,6 +99,15 @@ class AuditLog:
         verd = self._read_verdicts(spark)
         if verd is None:
             return viol.limit(0)
+        if "run_id" not in viol.columns:
+            # legacy (round-1) violations parquet carries no run_id column —
+            # reconcile on part_id alone so pre-existing audit dirs stay
+            # readable (ADVICE r2 low #2); new writes always stamp run_id.
+            return viol.join(
+                F.broadcast(verd.select("part_id").distinct()),
+                ["part_id"],
+                "left_semi",
+            )
         return viol.join(
             F.broadcast(verd.select("run_id", "part_id").distinct()),
             ["run_id", "part_id"],

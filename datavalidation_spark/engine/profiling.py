@@ -127,11 +127,17 @@ def profile_with_bounds(
         hll_ok = abs(row[f"{c}__hll"] - exact_d) <= rel_tol * max(exact_d, 1)
         if numeric:
             lo, hi = row[f"{c}__min"], row[f"{c}__max"]
-            span = max((hi - lo) if (hi is not None and lo is not None) else 0.0, 1e-9)
-            q_ok = all(
-                lo <= qs <= hi and abs(qs - qx) <= rel_tol * span
-                for qs, qx in zip(row[f"{c}__qs"], row[f"{c}__qx"])
-            )
+            qs_arr, qx_arr = row[f"{c}__qs"], row[f"{c}__qx"]
+            if lo is None or hi is None or qs_arr is None or qx_arr is None:
+                # all-NULL numeric column: no values for the sketch to get
+                # wrong — mirror the non-numeric branch (ADVICE r2 low #3)
+                q_ok = True
+            else:
+                span = max(hi - lo, 1e-9)
+                q_ok = all(
+                    lo <= qs <= hi and abs(qs - qx) <= rel_tol * span
+                    for qs, qx in zip(qs_arr, qx_arr)
+                )
         else:
             lo = hi = None
             q_ok = True

@@ -233,19 +233,6 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize: metadata math is real (aspect, scale factors); pixel
-    resample is the stubbed codec step (payload passed through unchanged)."""
-    return media.withColumns(
-        {
-            "target_width": F.lit(width),
-            "target_height": F.lit(height),
-            "scale_x": F.round(F.lit(width) / F.col("width"), 6),
-            "scale_y": F.round(F.lit(height) / F.col("height"), 6),
-        }
-    )
-
-
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plan: which frame indices to decode per asset —
     pure Column math (sequence stepped by every_n); the decode is the stub."""

@@ -161,6 +161,21 @@ def cosine_topk(
 # bucket assignment bit-for-bit reproducible: IEEE addition in a fixed order.
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector dimensionality from the first row; None on an empty input
+    (callers short-circuit to an empty result instead of raising — ADVICE r2
+    low #4). Costs one extra Spark job: pass ``dim`` explicitly on hot paths
+    (every contract query does)."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        return None
+    return len(row[0])
+
+
+def _empty_result(df: DataFrame, schema: str) -> DataFrame:
+    return df.sparkSession.createDataFrame([], schema)
+
+
 def _md5_sign(table: int, bit: int, d: int) -> int:
     import hashlib
 
@@ -250,7 +265,9 @@ def lsh_near_dup_pairs(
     import pandas as pd
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
+        if dim is None:
+            return _empty_result(df, "id_a long, id_b long, cosine double")
     planes = rademacher_planes(n_tables, n_bits, dim)
     tagged = lsh_bucket_assign(df, vec_col, id_col, planes)
     sized = tagged.withColumn(
@@ -291,7 +308,11 @@ def lsh_topk_md5(
     generation is deterministic, so the DuckDB oracle reproduces the exact
     result set; ordering ties break on (rounded cosine desc, neighbor_id)."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _infer_dim(corpus, vec_col)
+        if dim is None:
+            return _empty_result(
+                corpus, "query_id long, neighbor_id long, cosine double, rank int"
+            )
     planes = rademacher_planes(n_tables, n_bits, dim)
     qb = lsh_bucket_assign(queries, vec_col, id_col, planes, "query_id", "qvec")
     cb = lsh_bucket_assign(corpus, vec_col, id_col, planes, "neighbor_id", "cvec")
@@ -354,7 +375,11 @@ def lsh_topk(
     Recall grows with n_tables (independent probes unioned before rerank).
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _infer_dim(corpus, vec_col)
+        if dim is None:
+            return _empty_result(
+                corpus, "query_id long, neighbor_id long, cosine double, rank int"
+            )
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
 
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:

@@ -104,6 +104,57 @@ def test_parquet_backend_reconciles_orphan_violations(spark, tmp_path):
     assert got.select("run_id").distinct().collect()[0][0] == "r1"
 
 
+def test_torn_commit_file_is_skipped_not_fatal(spark, tmp_path):
+    """A zero-length / partial commit json (possible only in dirs written by
+    pre-link versions) is quarantined at read time instead of raising
+    JSONDecodeError forever (ADVICE r2 medium)."""
+    log = ManifestLog(str(tmp_path / "m"))
+    df = spark.range(5)
+    log.commit({"t": df})
+    # plant a torn commit between two good ones
+    with open(os.path.join(log.commits_dir, "00000002.json"), "w") as f:
+        f.write('{"tables": {"t": [')  # truncated mid-write
+    log.commit({"t": df.limit(2)})
+    assert log.read(spark, "t").count() == 7
+    # and commit() still works after the torn file exists
+    log.commit({"t": df.limit(1)})
+    assert log.read(spark, "t").count() == 8
+
+
+def test_manifest_compaction_bounds_metadata(spark, tmp_path):
+    """1,000 commits compact to ONE checkpoint file; reads see identical
+    data before and after, and later commits append past the checkpoint."""
+    log = ManifestLog(str(tmp_path / "m"))
+    data_dir = tmp_path / "m" / "t"
+    os.makedirs(data_dir, exist_ok=True)
+    # publish 1,000 commits at the file level (Spark writes would dominate
+    # the test); each references one real (touched) data file
+    df = spark.range(4).withColumn("v", F.col("id") * 10)
+    df.coalesce(1).write.parquet(str(tmp_path / "seed"))
+    seed = glob.glob(str(tmp_path / "seed" / "*.parquet"))[0]
+    paths = []
+    for i in range(1000):
+        p = str(data_dir / f"f{i:04d}.parquet")
+        os.link(seed, p)
+        paths.append(p)
+        log._publish({"tables": {"t": [p]}, "meta": {}})
+    assert len(log._commit_seqs()) == 1000
+    before = sorted(log.committed_files("t"))
+
+    top = log.compact()
+    assert top == 1000
+    assert len(log._commit_seqs()) == 0  # all folded
+    assert len(log._checkpoints()) == 1  # into O(1) metadata
+    assert sorted(log.committed_files("t")) == before
+
+    # appends continue past the checkpoint; second compact folds them too
+    log.commit({"t": df.limit(2)})
+    log.compact()
+    assert len(log._checkpoints()) == 1 and len(log._commit_seqs()) == 0
+    # one full read at the end (1,000-file parquet scans dominate test time)
+    assert log.read(spark, "t").count() == 4 * 1000 + 2
+
+
 def test_concurrent_commit_seq_race(spark, tmp_path):
     """Losing an O_EXCL race retries the next sequence (optimistic cc)."""
     log = ManifestLog(str(tmp_path / "m"))

@@ -51,6 +51,33 @@ def test_exact_duplicates(corpus):
     assert 90003 not in flat and 90004 not in flat
 
 
+def test_exact_duplicates_hot_digest_bounded(spark):
+    """10⁵ copies of one text: dup_ids stays capped at max_dup_ids (the
+    aggregation buffer never materializes the full id list), n_copies is
+    still exact, and max_dup_ids=None drops the column entirely."""
+    hot = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit("same text every time").alias("text")
+    )
+    rows = exact_duplicates(hot, max_dup_ids=20).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_copies == 100_000 and r.keep_id == 0
+    assert list(r.dup_ids) == list(range(20))
+    lean = exact_duplicates(hot, max_dup_ids=None)
+    assert "dup_ids" not in lean.columns
+    assert lean.collect()[0].n_copies == 100_000
+
+
+def test_lsh_empty_input_returns_empty(spark):
+    """dim inference on an empty frame short-circuits instead of raising
+    (ADVICE r2 low #4)."""
+    from datavalidation_spark.operators.similarity import lsh_near_dup_pairs, lsh_topk_md5
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert lsh_near_dup_pairs(empty).count() == 0
+    assert lsh_topk_md5(empty, empty, k=3).count() == 0
+
+
 def test_jaccard_pairs_finds_near_dup(corpus):
     pairs = jaccard_pairs(corpus, threshold=0.5).collect()
     found = {(r.id_a, r.id_b): r.jaccard for r in pairs}

@@ -11,7 +11,6 @@ from datavalidation_spark.operators.multimodal import (
     FakeDecoder,
     extract_features,
     frame_sample_plan,
-    resize_stub,
     synth_media,
 )
 from datavalidation_spark.streaming.validate_stream import run_file_stream
@@ -45,11 +44,9 @@ def test_extract_features_error_isolation(spark):
     assert len([r for r in rows if r.decode_ok == "ok"]) == 49
 
 
-def test_resize_and_frame_sampling(spark):
+def test_frame_sampling(spark):
+    # real pixel resize is covered in test_codecs.py::test_resize_images_real_pixels
     media = synth_media(spark, 100)
-    resized = resize_stub(media, 224, 224).collect()
-    for r in resized:
-        assert abs(r.scale_x - round(224 / r.width, 6)) < 1e-9
     plan = frame_sample_plan(media, every_n=10).collect()
     assert len(plan) > 0
     for r in plan:
