@@ -282,28 +282,41 @@ def simhash_signatures(
 
     Hash family is md5-portable (same trick as MinHash): the 64-bit token
     hash is the first 16 hex chars of md5(token), split into two 32-bit
-    halves so values stay inside signed-long range in every engine. The
-    plan is explode(tokens) → 64 partially-aggregatable bit-vote sums
-    (map-side combine — one row per doc leaves each partition) → recombine.
+    halves so values stay inside signed-long range in every engine.
+
+    Plan: explode(tokens) → pre-aggregate on (id, hi, lo) with a count —
+    the md5/conv lives in the GROUPING KEY, so it is evaluated exactly once
+    per token occurrence; repeated tokens collapse map-side and hash only
+    once downstream. The 64 bit-vote sums then weight by the count and read
+    plain long attributes. (The round-2 shape computed the votes directly
+    over a (hi, lo) projection; Catalyst collapses that projection into the
+    aggregate, re-evaluating conv(substring(md5)) inside every one of the
+    64 sum expressions — 64× the hash work, measured 5× slower at sf0.1.)
     Docs with no tokens keep signature 0 (left join back over ids).
     """
     ids = df.select(F.col(id_col).alias("id"))
-    tok = df.select(
+    tok = df.where(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    ).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("t"),
-    ).withColumn("h", F.md5("t"))
-    halves = tok.select(
-        "id",
-        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
     )
-    votes = halves.groupBy("id").agg(
+    counted = tok.groupBy(
+        "id",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long").alias("lo"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    votes = counted.groupBy("id").agg(
         *[
             F.sum(
-                F.shiftrightunsigned(F.col("lo") if b < 32 else F.col("hi"), b % 32)
-                .bitwiseAND(F.lit(1))
-                * 2
-                - 1
+                (
+                    F.shiftrightunsigned(
+                        F.col("lo") if b < 32 else F.col("hi"), b % 32
+                    ).bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                )
+                * F.col("cnt")
             ).alias(f"v{b}")
             for b in range(64)
         ]

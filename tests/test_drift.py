@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from datavalidation_spark.engine.drift import (
     binned_drift,
     binned_mutual_information,
+    changepoints_per_group,
+    isolation_scores,
     ks_2samp_numpy,
     lof_scores,
     pelt_changepoints,
@@ -61,6 +63,41 @@ def test_lof_flags_planted_outlier():
     X[7] = [15, 15, 15]
     s = lof_scores(X, n_neighbors=20)
     assert np.argmax(s) == 7
+
+
+def test_isolation_scores_flag_planted_outlier():
+    """Level-synchronous vectorized iForest: the planted far-out point gets
+    the top score, results are deterministic, and inliers score lower."""
+    rng = np.random.default_rng(1)
+    X = rng.normal(0, 1, (200, 3))
+    X[13] = [12, -12, 12]
+    s = isolation_scores(X)
+    assert np.argmax(s) == 13 and s[13] > 0.6
+    assert float(np.median(s)) < 0.55
+    assert np.array_equal(isolation_scores(X), s)  # seeded → bit-identical
+    # degenerate inputs don't crash
+    assert len(isolation_scores(np.zeros((0, 2)))) == 0
+    assert len(isolation_scores(np.ones((3, 2)))) == 3
+
+
+def test_changepoints_per_group_distributed(spark):
+    """Planted two-step series per group: the distributed PELT operator
+    recovers exactly [n//3, (2n)//3] for every group (the construction the
+    advanced_changepoint oracle relies on)."""
+    rows = []
+    for g, n in [("a", 30), ("b", 67), ("c", 133)]:
+        p1, p2 = n // 3, (2 * n) // 3
+        for i in range(n):
+            eid = i * 131 + hash(g) % 977
+            val = 10.0 * ((i >= p1) + (i >= p2)) + ((eid * 7) % 5) / 100.0
+            rows.append(dict(g=g, ts=i, event_id=eid, value=val))
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    res = {
+        r.group_key: (r.n, list(r.breakpoints))
+        for r in changepoints_per_group(df, "g", "value", ["ts", "event_id"]).collect()
+    }
+    for g, n in [("a", 30), ("b", 67), ("c", 133)]:
+        assert res[g] == (n, [n // 3, (2 * n) // 3])
 
 
 def test_pelt_finds_level_shift():
