@@ -26,6 +26,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The sf-dir tables are single parquet files → one scan task, which
+    serializes every expression-heavy phase built on top (hashing, shingling,
+    LSH folds, exact percentiles). Spread across the cluster first. At real
+    scale the input has many files/partitions and scan parallelism makes
+    this repartition unnecessary — same rationale as q_maritime_catalog."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship: full document-rule catalog + per-source verdicts
 # ---------------------------------------------------------------------------
@@ -241,7 +250,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_bpe,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     f = quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -257,7 +266,7 @@ def q_detect_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (operators/text.py)."""
     from datavalidation_spark.operators.text import detect_lang, lang_scores
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     scores = lang_scores(F.col("text"))
     hit = {
         lang: F.element_at(
@@ -278,7 +287,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal; 3-gram variant covered in tests with planted dups)."""
     from datavalidation_spark.operators.dedup import jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return jaccard_pairs(docs, shingle_n=1, threshold=0.8, max_doc_freq=1000)
 
 
@@ -286,7 +295,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (md5-portable hash family)."""
     from datavalidation_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(docs, shingle_n=1, k=16, bands=4, threshold=0.5)
 
 
@@ -296,7 +305,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (emitted as a 16-hex-char string to stay engine-portable)."""
     from datavalidation_spark.operators.dedup import simhash_signatures
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return simhash_signatures(docs).select("id", "simhash_hex")
 
 
@@ -308,7 +317,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane literals, so blocking + rerank match value-for-value."""
     from datavalidation_spark.operators.similarity import lsh_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return lsh_near_dup_pairs(
         emb, threshold=0.4, n_bits=4, n_tables=8, dim=64, round_dp=4
     )
@@ -329,7 +338,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the quadratic brute force here)."""
     from datavalidation_spark.operators.similarity import lsh_topk_md5
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return lsh_topk_md5(
         emb.where(F.col("vec_id") < 20), emb, k=5, n_bits=4, n_tables=8, dim=64
     )
@@ -518,6 +527,47 @@ def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest approximate quantiles (north_star names t-digest; SURVEY A8)
+    in the hard gate: the distributed mergeable-sketch path (one digest per
+    partition → driver merge of tiny digests) estimates 4 percentiles per
+    numeric column; driver-facing columns are the exact scalars plus a
+    ``td_ok`` boolean (every estimate within 15%·range of the exact
+    percentile) that the DuckDB oracle asserts TRUE — sketch accuracy as a
+    hard gate, estimates never hashed directly (engine-specific). Tolerance
+    is 15%·range, not 5%: l_discount is 11 discrete atoms ~1%-of-range
+    apart, and a CORRECT digest may interpolate into an inter-atom gap when
+    a target quantile lands on an atom boundary (error up to one gap); 15%
+    still fails on any genuinely broken sketch."""
+    from datavalidation_spark.operators.tdigest import tdigest_quantiles
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    qs = [0.25, 0.5, 0.75, 0.95]
+    li = _spread(spark, _t(spark, sf_dir, "lineitem"))
+    est = tdigest_quantiles(li, cols, qs)
+    exact_row = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.percentile(F.col(c), F.array(*[F.lit(q) for q in qs])).alias(f"{c}__qx")
+            for c in cols
+        ],
+        *[F.min(c).cast("double").alias(f"{c}__min") for c in cols],
+        *[F.max(c).cast("double").alias(f"{c}__max") for c in cols],
+    ).collect()[0]
+    rows = []
+    for c in cols:
+        lo, hi = exact_row[f"{c}__min"], exact_row[f"{c}__max"]
+        span = max(hi - lo, 1e-9)
+        ok = all(
+            est[c][q] is not None and abs(est[c][q] - qx) <= 0.15 * span
+            for q, qx in zip(qs, exact_row[f"{c}__qx"])
+        )
+        rows.append((c, exact_row["n"], round(lo, 6), round(hi, 6), bool(ok)))
+    return spark.createDataFrame(
+        rows, "column string, n_rows long, min_num double, max_num double, td_ok boolean"
+    )
+
+
 def q_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-vs-exact profile (SURVEY A8: HLL cardinality, GK quantiles)
     over lineitem, ONE aggregation pass. Sketch estimates are engine-
@@ -527,7 +577,7 @@ def q_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch accuracy into a hard gate instead of a rows-only check."""
     from datavalidation_spark.engine.profiling import profile_with_bounds
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread(spark, _t(spark, sf_dir, "lineitem"))
     return profile_with_bounds(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
     )
@@ -644,6 +694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "physics_model_check": q_physics_model_check,
     "group_topk": q_group_topk,
     "profile_sketches": q_profile_sketches,
+    "profile_tdigest": q_profile_tdigest,
     "text_quality": q_text_quality,
     "detect_lang": q_detect_lang,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1398,6 +1449,23 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_returnflag),
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                    TRUE, TRUE
+            FROM lineitem
+        """,
+        "profile_tdigest": """
+            SELECT 'l_quantity' AS column, count(*) AS n_rows,
+                   round(CAST(min(l_quantity) AS DOUBLE), 6) AS min_num,
+                   round(CAST(max(l_quantity) AS DOUBLE), 6) AS max_num,
+                   TRUE AS td_ok
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*),
+                   round(CAST(min(l_extendedprice) AS DOUBLE), 6),
+                   round(CAST(max(l_extendedprice) AS DOUBLE), 6), TRUE
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(*),
+                   round(CAST(min(l_discount) AS DOUBLE), 6),
+                   round(CAST(max(l_discount) AS DOUBLE), 6), TRUE
             FROM lineitem
         """,
         "profile_documents": """

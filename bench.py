@@ -71,6 +71,11 @@ def main() -> None:
     q_times: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         fn(spark, sf_dir).collect()
+        # driver GC between queries: ContextCleaner only releases finished
+        # queries' broadcast/shuffle/cache blocks after a driver GC — without
+        # this, blocks accumulate across the 28 queries and later ones
+        # degrade several-fold (same fix as scripts/scaling_bench.py)
+        spark.sparkContext._jvm.System.gc()
         t = time.perf_counter()
         fn(spark, sf_dir).collect()
         q_times[name] = round(time.perf_counter() - t, 3)

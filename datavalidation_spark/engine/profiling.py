@@ -6,6 +6,12 @@ One ``df.agg(...)`` pass computes everything: Spark's HLL++
 Greenwald-Khanna) are partial-aggregatable, so the whole profile is a single
 map-side-combining job with one tiny shuffle — the scan cost dominates, as it
 should at 100 TB.
+
+For the north_star's named t-digest quantiles, see
+``operators/tdigest.py`` — a mergeable t-digest with the same
+partial-aggregate shape (one digest per partition, driver merges the tiny
+survivors); ``percentile_approx`` here remains the built-in default since
+it runs fully JVM-side.
 """
 
 from __future__ import annotations

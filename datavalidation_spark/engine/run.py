@@ -29,6 +29,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--rule-version", default="v1")
     p.add_argument("--snapshot-id", default="snap0")
     p.add_argument("--partition-col", default="part_id")
+    p.add_argument("--backend", default="manifest", choices=["manifest", "parquet"],
+                   help="audit sink: atomic manifest commits (default) or legacy parquet append")
     p.add_argument("--synth-docs", type=int, default=0,
                    help="generate N synthetic docs instead of reading --input (demo/bench)")
     p.add_argument("--synth-dirty", action="store_true")
@@ -61,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
         input_manifest=args.input or f"synth:{args.synth_docs}",
         asset_catalog=catalog,
         partition_col=args.partition_col,
+        backend=args.backend,
     )
     print(f"validated_partitions={n} run_id={run_id}")
     return 0

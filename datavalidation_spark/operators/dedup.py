@@ -143,28 +143,38 @@ def jaccard_pairs(
     )
 
 
-def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
-    """k MinHash values as md5-hex strings (min over md5(i‖shingle)).
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<string> of k md5-hex minima) — min over md5(i‖shingle).
 
     md5-string minima are engine-portable: DuckDB reproduces them exactly,
-    so the LSH pipeline is oracle-checkable end to end. Empty shingle sets
-    hash the empty marker so the signature is total.
-    """
-    sh = word_shingles(text, shingle_n)
-    safe = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("\x00empty")))
+    so the LSH pipeline is oracle-checkable end to end. Docs whose shingle
+    set is empty produce no row (callers pre-filter them — they carry no
+    similarity signal).
 
-    # Single pass over the shingle set: each shingle expands to its k hashes,
-    # folded with element-wise min. (k separate array_min(transform(...))
-    # expressions would inline — and re-evaluate — the whole shingling
-    # pipeline k times: 20× slower, measured.)
-    def per_shingle(s: Column) -> Column:
-        return F.array(*[F.md5(F.concat(F.lit(f"{i}|"), s)) for i in range(k)])
-
-    sentinel = F.array_repeat(F.lit("￿"), k)
-    return F.aggregate(
-        F.transform(safe, per_shingle),
-        sentinel,
-        lambda acc, h: F.zip_with(acc, h, lambda x, y: F.least(x, y)),
+    Plan: explode(distinct shingles) → ONE groupBy(id) with k min
+    aggregates whose inputs hash the post-explode shingle attribute — k
+    md5s per shingle occurrence, partial-aggregated map-side, all scalar
+    JVM ops. (The round-2 shape folded a k-element string array per
+    shingle through aggregate/zip_with inside a single Column expression —
+    allocation-heavy in codegen and not partially aggregatable.)"""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"_m{i}")
+        for i in range(k)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sig"))
     )
 
 
@@ -200,10 +210,7 @@ def minhash_lsh_pairs(
     # and would otherwise all collide on the empty-marker signature (every
     # empty doc pairing with every other — quadratic AND semantically wrong).
     nonempty = df.where(F.size(tokens(F.col(text_col))) >= shingle_n)
-    sig = nonempty.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), k, shingle_n).alias("sig"),
-    )
+    sig = minhash_signatures(nonempty, text_col, id_col, k, shingle_n)
     banded = sig.select(
         "id",
         F.explode(

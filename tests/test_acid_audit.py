@@ -155,6 +155,24 @@ def test_manifest_compaction_bounds_metadata(spark, tmp_path):
     assert log.read(spark, "t").count() == 4 * 1000 + 2
 
 
+def test_audit_auto_compaction(spark, tmp_path):
+    """AuditLog folds commit metadata automatically once compact_every
+    commits accumulate; reads stay identical across the fold."""
+    docs = synth_documents(spark, 400, dirty=True, n_parts=4)
+    d = str(tmp_path / "audit")
+    audit = AuditLog(d, compact_every=3)
+    for i in range(4):
+        res = validate_documents(
+            docs.where(F.col("part_id") == i), unique_scope=docs
+        )
+        audit.record(res, f"r{i}", "v1", "snap0", "")
+    # 4 commits, threshold 3 → at least one fold happened
+    assert len(audit.manifest._checkpoints()) >= 1
+    assert len(audit.manifest._commit_seqs()) < 4
+    control = validate_documents(docs)
+    assert audit.read_violations(spark).count() == control.violations.count()
+
+
 def test_concurrent_commit_seq_race(spark, tmp_path):
     """Losing an O_EXCL race retries the next sequence (optimistic cc)."""
     log = ManifestLog(str(tmp_path / "m"))
