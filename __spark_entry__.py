@@ -672,6 +672,11 @@ def q_maritime_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute the full fixture-expression projection (5× the scan+expr
     # work, VERDICT r2 what's-wrong #5). MEMORY_AND_DISK: the ctx is
     # O(input) — at real scale you would checkpoint/bucket it instead.
+    # Lifecycle: the returned DataFrame must stay lazy, so there is no
+    # in-band unpersist; the cached blocks are reclaimed by ContextCleaner
+    # at the next driver GC (bench.py GCs between queries; long-lived
+    # drivers should set spark.cleaner.periodicGC.interval — per-invocation
+    # footprint is a few MB at gate SFs, ~60 MB at sf0.1).
     from pyspark import StorageLevel
 
     ctx = ev.select(

@@ -137,15 +137,24 @@ class ManifestLog:
 
     # -- read -------------------------------------------------------------
 
+    class _Vanished(Exception):
+        """An enumerated commit/checkpoint file disappeared mid-read — a
+        concurrent compaction folded it. The caller must re-enumerate (read
+        path) or abort (compaction), never treat the hole as empty."""
+
     @staticmethod
     def _load(path: str) -> dict | None:
         """Parse a commit/checkpoint file; None for torn/unparsable files
         (possible only in dirs written by pre-link versions — the link
         protocol cannot publish partial bytes). Skipping instead of raising
-        keeps one bad historic file from bricking every future read."""
+        keeps one bad historic file from bricking every future read.
+        A MISSING file is a different condition entirely (concurrent
+        compaction) and raises :class:`_Vanished`."""
         try:
             with open(path, "rb") as f:
                 return json.load(f)
+        except FileNotFoundError:
+            raise ManifestLog._Vanished(path) from None
         except (json.JSONDecodeError, OSError):
             return None
 
@@ -168,8 +177,15 @@ class ManifestLog:
         base = ckpts[-1][1] if ckpts else None
         parts = ([base] if base else []) + [p for _, p in commits]
         for path in parts:
-            doc = self._load(path)
-            if doc is None:
+            try:
+                doc = self._load(path)
+            except ManifestLog._Vanished:
+                # a concurrent compaction folded part of our snapshot: abort
+                # — folding a hole into a checkpoint would permanently lose
+                # the vanished commits' data; the racing compactor (which
+                # saw them) owns the fold
+                return None
+            if doc is None:  # torn pre-link file: genuinely skippable
                 continue
             for name, files in doc.get("tables", {}).items():
                 tables.setdefault(name, []).extend(files)
@@ -190,29 +206,50 @@ class ManifestLog:
         self._fsync_dir(self.commits_dir)
         for s, p in commits:
             if s <= top:
-                os.unlink(p)
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass  # concurrent compaction already removed it
         for s, p in ckpts:
             if s < top:
-                os.unlink(p)
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
         self._fsync_dir(self.commits_dir)
         return top
 
     def committed_files(self, name: str) -> list[str]:
+        # a file enumerated by our listing can vanish mid-read when a
+        # concurrent compaction folds it into a new checkpoint — in that
+        # case the fresh listing contains everything we need, so retry with
+        # a new snapshot instead of treating the hole as empty data
+        for _ in range(8):
+            try:
+                return self._committed_files_once(name)
+            except ManifestLog._Vanished:
+                continue
+        raise RuntimeError(
+            "manifest listing kept changing under the reader "
+            "(compaction storm?) — retry exhausted"
+        )
+
+    def _committed_files_once(self, name: str) -> list[str]:
         ckpts = self._checkpoints()
         out: list[str] = []
         floor = 0
         if ckpts:
             floor, base = ckpts[-1]
-            doc = self._load(base)
+            doc = self._load(base)  # _Vanished → caller re-lists
             if doc is not None:
                 out.extend(doc.get("tables", {}).get(name, []))
         for seq, path in self._commit_seqs():
             if seq <= floor:
                 continue  # folded into the checkpoint already
-            doc = self._load(path)
+            doc = self._load(path)  # _Vanished → caller re-lists
             if doc is not None:
                 out.extend(doc.get("tables", {}).get(name, []))
-        # de-dup (checkpoint racing a reader may briefly overlap commits),
+        # de-dup (checkpoint published while commits not yet deleted),
         # preserve first-seen order
         out = list(dict.fromkeys(out))
         return [p for p in out if os.path.exists(p)]

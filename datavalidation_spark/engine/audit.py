@@ -95,7 +95,14 @@ class AuditLog:
         if self.backend == "manifest":
             return self.manifest.read(spark, "violations")
         try:
-            viol = spark.read.parquet(self.violations_path)
+            # mergeSchema: a round-1 dir appended to by upgraded code holds
+            # files with AND without run_id — plain reads take the schema
+            # from ONE sampled footer (nondeterministic across sessions);
+            # merging guarantees run_id surfaces whenever any file has it,
+            # with legacy rows as NULL handled per-row below
+            viol = spark.read.option("mergeSchema", "true").parquet(
+                self.violations_path
+            )
             viol.limit(1).collect()
         except Exception:
             return None
@@ -103,19 +110,30 @@ class AuditLog:
         if verd is None:
             return viol.limit(0)
         if "run_id" not in viol.columns:
-            # legacy (round-1) violations parquet carries no run_id column —
-            # reconcile on part_id alone so pre-existing audit dirs stay
-            # readable (ADVICE r2 low #2); new writes always stamp run_id.
+            # all-legacy (round-1) violations parquet carries no run_id
+            # column — reconcile on part_id alone so pre-existing audit
+            # dirs stay readable (ADVICE r2 low #2).
             return viol.join(
                 F.broadcast(verd.select("part_id").distinct()),
                 ["part_id"],
                 "left_semi",
             )
-        return viol.join(
+        # MIXED dirs (legacy files + post-upgrade appends): schema inference
+        # takes run_id from a sampled new footer and legacy rows surface
+        # with run_id NULL — a (run_id, part_id) semi-join would silently
+        # drop every pre-upgrade violation, so reconcile per ROW: NULL
+        # run_id rows on part_id alone, stamped rows on the full key.
+        modern = viol.where(F.col("run_id").isNotNull()).join(
             F.broadcast(verd.select("run_id", "part_id").distinct()),
             ["run_id", "part_id"],
             "left_semi",
         )
+        legacy = viol.where(F.col("run_id").isNull()).join(
+            F.broadcast(verd.select("part_id").distinct()),
+            ["part_id"],
+            "left_semi",
+        )
+        return modern.unionByName(legacy)
 
     def record(
         self,

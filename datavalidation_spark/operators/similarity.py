@@ -162,12 +162,14 @@ def cosine_topk(
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
-    """Vector dimensionality from the first row; None on an empty input
-    (callers short-circuit to an empty result instead of raising — ADVICE r2
-    low #4). Costs one extra Spark job: pass ``dim`` explicitly on hot paths
-    (every contract query does)."""
-    row = df.select(vec_col).first()
-    if row is None or row[0] is None:
+    """Vector dimensionality from the first NON-NULL vector; None only when
+    the input has no vectors at all (callers short-circuit to an empty
+    result instead of raising — ADVICE r2 low #4; a NULL in the arbitrary
+    first row must NOT masquerade as an empty corpus). Costs one extra
+    Spark job: pass ``dim`` explicitly on hot paths (every contract query
+    does)."""
+    row = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if row is None:
         return None
     return len(row[0])
 

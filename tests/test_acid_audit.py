@@ -155,6 +155,37 @@ def test_manifest_compaction_bounds_metadata(spark, tmp_path):
     assert log.read(spark, "t").count() == 4 * 1000 + 2
 
 
+def test_parquet_backend_mixed_legacy_and_modern_rows(spark, tmp_path):
+    """A round-1 dir (no run_id) later appended to by upgraded code: legacy
+    rows surface with run_id NULL and must reconcile on part_id alone while
+    stamped rows use the full (run_id, part_id) key — neither set dropped."""
+    docs = synth_documents(spark, 500, dirty=True, n_parts=4)
+    d = str(tmp_path / "audit")
+    audit = AuditLog(d, backend="parquet")
+    res = validate_documents(docs)
+
+    # legacy write: violations WITHOUT run_id + verdicts for those partitions
+    res.violations.write.mode("append").partitionBy("part_id").parquet(
+        audit.violations_path
+    )
+    import pyspark.sql.functions as SF
+
+    res.verdicts.withColumns(
+        {"run_id": SF.lit("legacy"), "rule_version": SF.lit("v0"),
+         "snapshot_id": SF.lit("snap0"), "input_manifest": SF.lit(""),
+         "validated_at": SF.lit(0.0)}
+    ).write.mode("append").parquet(audit.verdicts_path)
+
+    # modern append on the upgraded code path
+    audit.record(res, "r1", "v1", "snap0", "")
+
+    got = audit.read_violations(spark)
+    n = res.violations.count()
+    assert got.count() == 2 * n  # legacy copy + modern copy both visible
+    assert got.where(F.col("run_id").isNull()).count() == n
+    assert got.where(F.col("run_id") == "r1").count() == n
+
+
 def test_audit_auto_compaction(spark, tmp_path):
     """AuditLog folds commit metadata automatically once compact_every
     commits accumulate; reads stay identical across the fold."""

@@ -70,12 +70,26 @@ def test_exact_duplicates_hot_digest_bounded(spark):
 
 def test_lsh_empty_input_returns_empty(spark):
     """dim inference on an empty frame short-circuits instead of raising
-    (ADVICE r2 low #4)."""
-    from datavalidation_spark.operators.similarity import lsh_near_dup_pairs, lsh_topk_md5
+    (ADVICE r2 low #4); a NULL vector in the first row must NOT masquerade
+    as an empty corpus."""
+    from datavalidation_spark.operators.similarity import (
+        _infer_dim,
+        lsh_near_dup_pairs,
+        lsh_topk_md5,
+    )
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert lsh_near_dup_pairs(empty).count() == 0
     assert lsh_topk_md5(empty, empty, k=3).count() == 0
+
+    null_first = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    assert _infer_dim(null_first, "embedding") == 2
+    pairs = lsh_near_dup_pairs(null_first.where(F.col("embedding").isNotNull()),
+                               threshold=0.9, n_bits=2, n_tables=2)
+    assert pairs.count() == 1  # the two identical vectors are found
 
 
 def test_jaccard_pairs_finds_near_dup(corpus):
