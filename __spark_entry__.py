@@ -362,6 +362,51 @@ def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED-histogram drift (north_star's drift clause; the batch path
+    of streaming/drift_stream.py, fully DuckDB-oracled): reference histogram
+    from even event_ids, observed histograms per 7-day window (⌊epoch/604800⌋
+    integer key — engine-portable, no timezone semantics) from odd
+    event_ids, fixed bounds [0, 500]×10 bins, KS + PSI per (window,
+    event_type) over a dense bucket scaffold."""
+    from datavalidation_spark.streaming.drift_stream import (
+        drift_from_histograms,
+        keyed_histograms,
+        reference_histogram,
+    )
+
+    bounds = {"value": (0.0, 500.0)}
+    ev = _t(spark, sf_dir, "events")
+    ref = reference_histogram(
+        ev.where(F.col("event_id") % 2 == 0), "event_type", bounds
+    )
+    # ts is TIMESTAMP_NTZ: derive epoch seconds from CALENDAR FIELDS
+    # (datediff + h/m/s), which both engines extract identically from the
+    # wall-clock value — no timezone semantics anywhere in the key
+    epoch_s = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        * 86400
+        + F.hour("ts") * 3600
+        + F.minute("ts") * 60
+        + F.second("ts")
+    )
+    obs = ev.where(F.col("event_id") % 2 == 1).withColumn(
+        "window", F.floor(epoch_s / 604800)
+    )
+    hist = keyed_histograms(obs, "window", "event_type", bounds)
+    out = drift_from_histograms(hist, ref, "event_type")
+    return out.select(
+        F.col("window").cast("bigint").alias("window_key"),
+        "event_type",
+        "feature",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round("psi", 3).alias("psi"),
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+    )
+
+
 def q_advanced_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-pandas statistical tier (SURVEY M2/M4) — the KS-drift subset,
     fully DuckDB-oracled: deterministic (ts, event_id) temporal split,
@@ -709,6 +754,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "drift_events": q_drift_events,
+    "drift_windowed": q_drift_windowed,
     "advanced_checks": q_advanced_checks,
     "advanced_anomaly": q_advanced_anomaly,
     "advanced_mi": q_advanced_mi,
@@ -1220,6 +1266,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(tot_train) AS BIGINT) AS n_train,
                    CAST(max(tot_test) AS BIGINT) AS n_test
             FROM enr GROUP BY event_type
+        """,
+        # q_drift_windowed: windowed-histogram KS/PSI vs a reference
+        # histogram — mirrors streaming/drift_stream.py's batch path
+        # (fixed bounds [0,500]×10, clamped edge bins, dense bucket
+        # scaffold, floored-proportion PSI).
+        "drift_windowed": """
+            WITH val AS (
+              SELECT event_type, event_id,
+                     CAST(floor((datediff('day', DATE '1970-01-01',
+                                          CAST(ts AS DATE)) * CAST(86400 AS BIGINT)
+                                 + extract(hour FROM ts) * 3600
+                                 + extract(minute FROM ts) * 60
+                                 + extract(second FROM ts)) / 604800)
+                          AS BIGINT) AS wk,
+                     CAST(value AS DOUBLE) AS v
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+            ),
+            binned AS (
+              SELECT event_type, event_id, wk,
+                     least(greatest(CAST(floor((v - 0.0) / 500.0 * 10) AS INT),
+                                    0), 9) AS bucket
+              FROM val
+            ),
+            ref AS (
+              SELECT event_type, bucket, count(*) AS ref_count
+              FROM binned WHERE event_id % 2 = 0 GROUP BY 1, 2
+            ),
+            obs AS (
+              SELECT wk, event_type, bucket, count(*) AS obs_count
+              FROM binned WHERE event_id % 2 = 1 GROUP BY 1, 2, 3
+            ),
+            keys AS (SELECT DISTINCT wk, event_type FROM obs),
+            scaffold AS (
+              SELECT k.wk, k.event_type, b.bucket
+              FROM keys k, (SELECT unnest(generate_series(0, 9)) AS bucket) b
+            ),
+            dense AS (
+              SELECT s.wk, s.event_type, s.bucket,
+                     coalesce(o.obs_count, 0) AS obs_count,
+                     coalesce(r.ref_count, 0) AS ref_count
+              FROM scaffold s
+              LEFT JOIN obs o ON o.wk = s.wk AND o.event_type = s.event_type
+                             AND o.bucket = s.bucket
+              LEFT JOIN ref r ON r.event_type = s.event_type
+                             AND r.bucket = s.bucket
+            ),
+            enr AS (
+              SELECT *,
+                     sum(obs_count) OVER w AS tot_obs,
+                     sum(ref_count) OVER w AS tot_ref,
+                     sum(obs_count) OVER wc AS cum_obs,
+                     sum(ref_count) OVER wc AS cum_ref
+              FROM dense
+              WINDOW w AS (PARTITION BY wk, event_type),
+                     wc AS (PARTITION BY wk, event_type ORDER BY bucket)
+            )
+            SELECT wk AS window_key, event_type, 'value' AS feature,
+                   round(max(abs(cum_obs / CAST(tot_obs AS DOUBLE)
+                                 - cum_ref / CAST(tot_ref AS DOUBLE))), 6)
+                       AS ks_stat,
+                   round(sum((greatest(obs_count / CAST(tot_obs AS DOUBLE), 0.0005)
+                              - greatest(ref_count / CAST(tot_ref AS DOUBLE), 0.0005))
+                             * ln(greatest(obs_count / CAST(tot_obs AS DOUBLE), 0.0005)
+                                  / greatest(ref_count / CAST(tot_ref AS DOUBLE), 0.0005))),
+                         3) AS psi,
+                   CAST(max(tot_obs) AS BIGINT) AS n_obs,
+                   CAST(max(tot_ref) AS BIGINT) AS n_ref
+            FROM enr
+            WHERE tot_obs > 0 AND tot_ref > 0
+            GROUP BY wk, event_type
         """,
         # q_advanced_checks drift subset: exact two-sample KS over the
         # deterministic (ts, event_id) temporal split, Kolmogorov-series

@@ -100,6 +100,27 @@ def windowed_histograms(
     )
 
 
+def keyed_histograms(
+    df: DataFrame,
+    window_col: str,
+    group_col: str,
+    bounds: dict[str, tuple[float, float]],
+    n_bins: int = 10,
+) -> DataFrame:
+    """Batch variant of :func:`windowed_histograms` with a caller-supplied
+    window KEY column of any type (e.g. ⌊epoch/7d⌋ — an engine-portable
+    integer, unlike the event-time window struct, so DuckDB oracles can
+    reproduce it without timezone semantics in play)."""
+    tagged = df if window_col == "window" else df.withColumn(
+        "window", F.col(window_col)
+    )
+    return (
+        _long_form(tagged, group_col, bounds, n_bins)
+        .groupBy("window", group_col, "feature", "bucket")
+        .agg(F.count(F.lit(1)).alias("obs_count"))
+    )
+
+
 def drift_from_histograms(
     hist: DataFrame,
     ref: DataFrame,
