@@ -153,6 +153,23 @@ def nullif_empty_float(col: Column) -> Column:
     return F.when(col != "", col).cast("double")
 
 
+def age_days(ts: Column, cutoff: Column) -> Column:
+    """Whole days from ``ts`` to ``cutoff`` (SURVEY F12; the reference
+    anchors on ``datetime.now() - timedelta(days=n)``,
+    ``streamlit_app.py:29-33`` — here the cutoff is an EXPLICIT column/
+    literal so runs are reproducible; pass ``F.lit("2024-02-01")`` or a
+    run-timestamp column). NULL-safe: NULL ts → NULL age."""
+    return F.datediff(cutoff.cast("date"), ts.cast("date"))
+
+
+def within_days(ts: Column, cutoff: Column, n: int) -> Column:
+    """True iff ``ts`` is within the trailing ``n``-day window ending at
+    ``cutoff`` (inclusive both ends); False on NULL — the reference's
+    three-month report-window filter (``streamlit_app.py:29-33``) as a
+    pushdown-friendly predicate."""
+    return nv(age_days(ts, cutoff).between(F.lit(0), F.lit(n)))
+
+
 def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     """Great-circle distance in km, R=6371 — pure Column trig, no UDF
     (ref ``distance_validation.py:43-54``)."""

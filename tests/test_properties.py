@@ -147,3 +147,33 @@ def test_rob_balance_round_trip(spark, n, perturb_idx, seed):
         for i in ([perturb_idx] if perturb_idx == n - 1 else [perturb_idx, perturb_idx + 1])
     )
     assert got_dates == want_dates
+
+
+def test_date_math_helpers(spark):
+    """F12 interval helpers: explicit-cutoff day arithmetic, NULL-safe,
+    inclusive window bounds (the reference's now()-anchored 3-month filter
+    with a reproducible cutoff)."""
+    from datavalidation_spark.rules.core import age_days, within_days
+
+    rows = [
+        ("2024-01-01 10:00:00", 31, False),   # outside a 30-day window
+        ("2024-01-02 23:59:59", 30, True),    # boundary day inclusive
+        ("2024-02-01 00:00:01", 0, True),     # same-day
+        (None, None, False),                  # NULL ts never passes
+    ]
+    df = spark.createDataFrame(
+        [(ts,) for ts, _, _ in rows], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    cutoff = F.lit("2024-02-01").cast("timestamp")
+    got = df.select(
+        age_days(F.col("ts"), cutoff).alias("age"),
+        within_days(F.col("ts"), cutoff, 30).alias("ok"),
+    ).collect()
+    for (ts, want_age, want_ok), r in zip(rows, got):
+        assert r.age == want_age, (ts, r.age)
+        assert r.ok is want_ok, (ts, r.ok)
+    # future timestamps (beyond cutoff) are not "within" the window
+    fut = spark.createDataFrame([("2024-02-05 00:00:00",)], "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    assert fut.select(within_days(F.col("ts"), cutoff, 30).alias("ok")).collect()[0].ok is False
