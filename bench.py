@@ -69,7 +69,7 @@ def main() -> None:
 
     # release the headline inputs BEFORE the query loop: the cached
     # interleaved docs (spans arrays, ~GBs at sf0.1) otherwise sit in
-    # executor storage for all 29 queries and evict/thrash the queries'
+    # executor storage for every contract query and evict/thrash the queries'
     # own caches (measured: maritime_catalog 7s isolated vs 40s with the
     # docs cache resident)
     docs.unpersist()
@@ -82,7 +82,7 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         # driver GC between queries: ContextCleaner only releases finished
         # queries' broadcast/shuffle/cache blocks after a driver GC — without
-        # this, blocks accumulate across the 28 queries and later ones
+        # this, blocks accumulate across the contract queries and later ones
         # degrade several-fold (same fix as scripts/scaling_bench.py)
         spark.sparkContext._jvm.System.gc()
         t = time.perf_counter()

@@ -181,42 +181,42 @@ def run_drift_stream(
     schema,
     ts_col: str,
     group_col: str,
-    reference_df: DataFrame,
     bounds: dict[str, tuple[float, float]],
     n_bins: int = 10,
     window_duration: str = "1 minute",
     watermark: str = "2 minutes",
 ):
-    """File stream → windowed histograms → per-window KS/PSI written to a
-    parquet sink (exactly-once via checkpoint). The reference histogram is
-    computed once up front and reused by every micro-batch.
+    """File stream → watermarked windowed HISTOGRAM rows appended to a
+    parquet sink (exactly-once via checkpoint); drift is computed at READ
+    time from the reconstructed full histograms (``read_drift_sink``).
 
-    Output mode is UPDATE, the right semantics for a drift monitor: each
-    micro-batch re-emits the current KS/PSI of every window it touched
-    (append mode would emit a window only after the watermark closes it —
-    under an ``availableNow`` drain the final windows would never surface,
-    and an alert that waits out the watermark is late by construction).
-    Re-emissions supersede: rows carry ``batch_id``, readers take the max
-    batch_id per (window, group, feature) — see ``read_drift_sink``."""
-    ref = reference_histogram(reference_df, group_col, bounds, n_bins)
-    ref.persist()
-    ref.count()
+    Output mode is UPDATE: each micro-batch emits the new CUMULATIVE total
+    of every (window, group, feature, bucket) it touched (append mode would
+    emit a window only after the watermark closes it — under an
+    ``availableNow`` drain the final windows would never surface, and an
+    alert that waits out the watermark is late by construction). Because
+    update-mode emissions carry key totals, taking the latest row per
+    BUCKET reconstructs the complete window histogram across any number of
+    micro-batches.
+
+    Computing KS/PSI inside ``foreachBatch`` from ``batch_df`` alone would
+    be WRONG once a window spans micro-batches: the batch holds only the
+    touched buckets, so totals/CDFs would be built from a partial histogram
+    (a 5-late-row second batch turned a no-drift window into KS=1.0 in the
+    repro that motivated this design)."""
     src = spark.readStream.schema(schema).parquet(input_dir)
     hists = windowed_histograms(
         src, ts_col, group_col, bounds, n_bins, window_duration, watermark
     )
 
     def emit(batch_df: DataFrame, batch_id: int) -> None:
-        out = drift_from_histograms(batch_df, ref, group_col, n_bins)
-        out.select(
+        batch_df.select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             group_col,
             "feature",
-            "ks_stat",
-            "psi",
-            "n_obs",
-            "n_ref",
+            "bucket",
+            "obs_count",
             F.lit(batch_id).alias("batch_id"),
         ).write.mode("append").parquet(output_dir)
 
@@ -229,15 +229,32 @@ def run_drift_stream(
     )
 
 
-def read_drift_sink(spark, output_dir: str, group_col: str) -> DataFrame:
-    """Latest drift row per (window, group, feature) from the update-mode
-    sink: max-batch_id supersession."""
+def read_drift_sink(
+    spark,
+    output_dir: str,
+    ref: DataFrame,
+    group_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Drift per (window, group, feature) from the histogram sink: latest
+    emission per BUCKET (max batch_id — update-mode rows are cumulative key
+    totals) reconstructs each window's full histogram, then KS/PSI against
+    the reference histogram ``ref`` (from :func:`reference_histogram`)."""
     raw = spark.read.parquet(output_dir)
-    w = Window.partitionBy("window_start", group_col, "feature").orderBy(
-        F.desc("batch_id")
-    )
-    return (
+    w = Window.partitionBy(
+        "window_start", group_col, "feature", "bucket"
+    ).orderBy(F.desc("batch_id"))
+    hist = (
         raw.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn", "batch_id")
+        .select(
+            F.col("window_start").alias("window"),
+            group_col,
+            "feature",
+            "bucket",
+            "obs_count",
+        )
+    )
+    return drift_from_histograms(hist, ref, group_col, n_bins).withColumnRenamed(
+        "window", "window_start"
     )

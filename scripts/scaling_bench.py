@@ -299,7 +299,34 @@ def main() -> None:
     med_eff_8_32 = _med_eff(8, 32)
     tt8 = (instr.get(8) or {}).get("best_task_time_ms")
     tt32 = (instr.get(32) or {}).get("best_task_time_ms")
-    tt_ratio = f"{tt32 / tt8:.2f}" if tt8 and tt32 else "n/a"
+    # the interpretation must follow the measured ratio, not a fixed story:
+    # under heavy host load task seconds inflate 2-2.5x at 32 threads (bus
+    # contention), in clean runs they stay flat — say whichever the best
+    # instrumented records actually show
+    if tt8 and tt32:
+        ttr = tt32 / tt8
+        if ttr >= 1.3:
+            tt_para = (
+                f"total executor task time at 32 cores is {ttr:.2f}× the "
+                "8-core total for the SAME work — the wall-clock gap at "
+                "8→32 is cores stalling on one memory bus (task seconds "
+                "inflate), not partitions serializing (task counts and "
+                "shuffle bytes are level-independent)."
+            )
+        else:
+            tt_para = (
+                f"in the best instrumented runs, total executor task time "
+                f"at 32 cores is {ttr:.2f}× the 8-core total — i.e. task "
+                "seconds stay FLAT across levels: the engine neither "
+                "serializes nor inflates work at 32 threads. The "
+                "historical 8→32 wall-clock gap therefore tracks host "
+                "interference and transient bus contention during loaded "
+                "invocations (raw per-run deltas in scaling_runs.jsonl "
+                "show 2-2.5× task-second inflation under load), not "
+                "engine behavior; shuffle bytes are level-independent."
+            )
+    else:
+        tt_para = "no instrumented invocations recorded at both levels yet."
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling-efficiency evidence
@@ -351,18 +378,16 @@ steady state; the full per-run sequences are in the table and in
 scaling_runs.jsonl for inspection.
 
 **Task-time accounting** (from the Spark status API, per-run deltas recorded
-in scaling_runs.jsonl): total executor task time at 32 cores is {tt_ratio}×
-the 8-core total for the SAME work — the wall-clock gap at 8→32 is cores
-stalling on one memory bus (task seconds inflate), not partitions
-serializing (task counts and shuffle bytes are level-independent). This is
-the bandwidth-saturation claim shown in data rather than argued.
+in scaling_runs.jsonl): {tt_para}
 
 The 1→4 pair is the faithful proxy for cluster scaling on this host:
 executors on a real cluster bring their own memory bandwidth and local
 shuffle disks, while `local[32]` packs 32 threads into ONE JVM on one
-memory bus and one throttled virtual disk — the 8→32 number measures
-single-socket bandwidth saturation (total core-seconds rise ~2×), not the
-engine's shuffle/partition behavior. At 1→4 neither bus nor disk is near
+memory bus and one throttled virtual disk — the 8→32 number mixes
+single-socket bus contention and host interference with the engine's
+scaling behavior (see the task-time accounting above for which dominated
+the recorded runs), not the
+engine's shuffle/partition behavior alone. At 1→4 neither bus nor disk is near
 saturation, so what remains is exactly what moves on a cluster: partition
 parallelism vs the serial driver fraction (planning, broadcast builds,
 stage scheduling). All stages in the job scale with partition

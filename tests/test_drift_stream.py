@@ -75,7 +75,10 @@ def test_out_of_range_mass_counts_as_drift(spark, frames):
 
 def test_stream_matches_batch(spark, tmp_path, frames):
     """availableNow file stream produces exactly the batch drift rows."""
-    from datavalidation_spark.streaming.drift_stream import run_drift_stream
+    from datavalidation_spark.streaming.drift_stream import (
+        read_drift_sink,
+        run_drift_stream,
+    )
 
     ref_df, live_df = frames
     in_dir, out_dir, ck_dir = (
@@ -86,17 +89,15 @@ def test_stream_matches_batch(spark, tmp_path, frames):
 
     q = run_drift_stream(
         spark, in_dir, ck_dir, out_dir, stored.schema,
-        ts_col="ts", group_col="g", reference_df=ref_df, bounds=BOUNDS,
+        ts_col="ts", group_col="g", bounds=BOUNDS,
     )
     q.awaitTermination(120)
 
-    from datavalidation_spark.streaming.drift_stream import read_drift_sink
-
+    ref = reference_histogram(ref_df, "g", BOUNDS)
     got = {
         (r.window_start, r.g, r.feature): (round(r.ks_stat, 6), round(r.psi, 6))
-        for r in read_drift_sink(spark, out_dir, "g").collect()
+        for r in read_drift_sink(spark, out_dir, ref, "g").collect()
     }
-    ref = reference_histogram(ref_df, "g", BOUNDS)
     want = {
         (r.window.start, r.g, r.feature): (round(r.ks_stat, 6), round(r.psi, 6))
         for r in drift_from_histograms(
@@ -104,3 +105,84 @@ def test_stream_matches_batch(spark, tmp_path, frames):
         ).collect()
     }
     assert got == want and len(want) == 4
+
+
+def test_late_rows_across_micro_batches_do_not_corrupt_window(spark, tmp_path, frames):
+    """The code-review repro: a window filled in batch 1 then touched by a
+    handful of late rows in batch 2 must NOT be recomputed from the second
+    batch's partial histogram (that read KS=1.0 on a no-drift window).
+    maxFilesPerTrigger=1 forces one micro-batch per input file."""
+    from datavalidation_spark.streaming.drift_stream import (
+        read_drift_sink,
+        run_drift_stream,
+    )
+
+    ref_df, _ = frames
+    rng = np.random.default_rng(21)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    bulk = pd.DataFrame(
+        dict(
+            g="A",
+            ts=[base + pd.Timedelta(seconds=i % 55) for i in range(1000)],
+            value=np.clip(rng.normal(50, 5, 1000), 0, 100),
+        )
+    )
+    late = pd.DataFrame(
+        dict(
+            g="A",
+            # late by ARRIVAL (second file/micro-batch), same event-time window
+            ts=[base + pd.Timedelta(seconds=30 + i) for i in range(5)],
+            value=np.clip(rng.normal(50, 5, 5), 0, 100),
+        )
+    )
+    in_dir, out_dir, ck_dir = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    spark.createDataFrame(bulk).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(in_dir)
+    stored = spark.read.parquet(in_dir)
+
+    src_schema = stored.schema
+    # force 2 micro-batches: one file each
+    from datavalidation_spark.streaming.drift_stream import windowed_histograms as wh
+
+    src = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    hists = wh(src, "ts", "g", BOUNDS)
+
+    def emit(batch_df, batch_id):
+        batch_df.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "g",
+            "feature",
+            "bucket",
+            "obs_count",
+            F.lit(batch_id).alias("batch_id"),
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        hists.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # sanity: the sink really saw >1 micro-batch
+    n_batches = spark.read.parquet(out_dir).select("batch_id").distinct().count()
+    assert n_batches >= 2
+
+    ref = reference_histogram(ref_df, "g", BOUNDS)
+    got = read_drift_sink(spark, out_dir, ref, "g").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_obs == 1005          # full window, not the 5-row partial
+    assert r.ks_stat < 0.15, r      # in-distribution window stays quiet
+    want = drift_from_histograms(
+        windowed_histograms(stored, "ts", "g", BOUNDS), ref, "g"
+    ).collect()[0]
+    assert round(r.ks_stat, 6) == round(want.ks_stat, 6)
+    assert round(r.psi, 6) == round(want.psi, 6)
