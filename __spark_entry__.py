@@ -526,6 +526,11 @@ def q_advanced_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = changepoints_per_group(
         planted, "user_id", "value", ["ts", "event_id"], penalty=1.0
     )
+    # min-group guard (ADVICE r3): PELT with min_size=2 cannot place a
+    # breakpoint creating a segment <2 rows, so for groups with fewer than 8
+    # events the "recover n//3 and 2n//3 exactly" contract is ill-defined.
+    # Both sides filter n >= 8 so the gate is well-defined at every SF.
+    res = res.where(F.col("n") >= 8)
     return res.select(
         "group_key",
         "n",
@@ -1474,7 +1479,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS INT) AS n,
                    CAST(count(*) // 3 AS VARCHAR) || ',' ||
                    CAST((2 * count(*)) // 3 AS VARCHAR) AS bp_csv
-            FROM events GROUP BY user_id
+            FROM events GROUP BY user_id HAVING count(*) >= 8
         """,
         "doc_rule_violations": _DOC_VIOLATIONS_SQL,
         "doc_source_verdicts": f"""

@@ -5,9 +5,19 @@ Headline metric: validated docs/sec on the synthetic interleaved-document
 table (BASELINE.json metric), at a document count scaled to the SF of
 $SPARK_GRAFT_SF_DIR. Also times every driver-contract query at that SF.
 
+Measurement policy (round-4 fix for the r3 5x headline artifact): this host
+is a shared sandbox whose run history shows 10-35x same-config wall-time
+noise (BENCH/scaling_runs.jsonl). Interference is strictly one-sided — it
+only ever slows a run — so:
+  * a bounded loadavg gate waits for a quiet host before the timed section;
+  * the headline times k>=3 validation runs and publishes the MIN, with the
+    full per-run list in the JSON for auditability;
+  * each contract query gets 1 warmup + 2 timed runs, min published.
+
 Env:
-  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  SPARK_GRAFT_BENCH_K  headline timed-run count (default 3)
 
 Scaling-efficiency evidence (BASELINE.md): run this twice —
   SPARK_GRAFT_CPUS=8 python bench.py
@@ -28,9 +38,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 DOCS_PER_SF = 2_000_000  # docs at SF 1.0 → 200k at sf0.1
 
 
+def _wait_for_quiet_host(max_wait: int = 300) -> float:
+    """Bounded wait for 1-min loadavg < 1.0 (same gate as scaling_bench.py).
+
+    Returns the loadavg observed when the gate released — recorded in the
+    output JSON so a noisy measurement is at least *labeled* noisy."""
+    waited = 0
+    load1 = 0.0
+    while waited < max_wait:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        if load1 < 1.0:
+            return load1
+        time.sleep(10)
+        waited += 10
+    return load1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    k = max(int(os.environ.get("SPARK_GRAFT_BENCH_K", "3")), 1)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     n_docs = max(int(DOCS_PER_SF * sf), 10_000)
@@ -62,9 +90,17 @@ def main() -> None:
         return n_violations, verd
 
     run_validation()  # warmup: JIT + codegen compile, excluded from metric
-    t0 = time.perf_counter()
-    n_violations, verd = run_validation()
-    elapsed = time.perf_counter() - t0
+    gate_load = _wait_for_quiet_host()
+    runs: list[float] = []
+    for _ in range(k):
+        # driver GC: ContextCleaner only reclaims the previous run's
+        # broadcast/shuffle blocks after a driver GC — without it, blocks
+        # accumulate and later runs degrade (same fix as scaling_bench.py)
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        n_violations, verd = run_validation()
+        runs.append(time.perf_counter() - t0)
+    elapsed = min(runs)
     docs_per_sec = n_docs / elapsed
 
     # release the headline inputs BEFORE the query loop: the cached
@@ -76,18 +112,19 @@ def main() -> None:
     catalog.unpersist()
     spark.sparkContext._jvm.System.gc()
 
-    # --- per-query timings at the bench SF (1 warmup + 1 timed) -----------
+    # --- per-query timings at the bench SF (1 warmup + 2 timed, min) ------
     q_times: dict[str, float] = {}
+    q_runs: dict[str, list[float]] = {}
     for name, fn in entry_mod.queries().items():
-        fn(spark, sf_dir).collect()
-        # driver GC between queries: ContextCleaner only releases finished
-        # queries' broadcast/shuffle/cache blocks after a driver GC — without
-        # this, blocks accumulate across the contract queries and later ones
-        # degrade several-fold (same fix as scripts/scaling_bench.py)
-        spark.sparkContext._jvm.System.gc()
-        t = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        q_times[name] = round(time.perf_counter() - t, 3)
+        fn(spark, sf_dir).collect()  # warmup
+        trials = []
+        for _ in range(2):
+            spark.sparkContext._jvm.System.gc()
+            t = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            trials.append(round(time.perf_counter() - t, 3))
+        q_times[name] = min(trials)
+        q_runs[name] = trials
 
     print(
         json.dumps(
@@ -99,6 +136,9 @@ def main() -> None:
                 "sf": sf,
                 "n_docs": n_docs,
                 "validate_sec": round(elapsed, 3),
+                "validate_runs_sec": [round(t, 3) for t in runs],
+                "query_runs_sec": q_runs,
+                "gate_loadavg": gate_load,
                 "n_violations": n_violations,
                 "n_partitions": len(verd),
                 "cpus": cpus,

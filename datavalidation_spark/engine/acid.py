@@ -131,6 +131,22 @@ class ManifestLog:
                 out.append((int(stem), p))
         return sorted(out)
 
+    def _sweep_tmp(self, max_age_sec: float = 300.0) -> None:
+        """Garbage-collect stale ``_tmp-*`` files left by a crash between the
+        tmp fsync and the ``os.unlink`` in :meth:`_publish`/:meth:`compact`.
+        Filtered from reads anyway, but without a sweep metadata growth is
+        unbounded across crash loops (ADVICE r3). Age-gated so we never
+        unlink a tmp an in-flight committer is about to ``os.link``."""
+        import time
+
+        now = time.time()
+        for p in glob.glob(os.path.join(self.commits_dir, "_tmp-*")):
+            try:
+                if now - os.path.getmtime(p) > max_age_sec:
+                    os.unlink(p)
+            except FileNotFoundError:
+                pass
+
     def _next_seq(self) -> int:
         seqs = [s for s, _ in self._commit_seqs()] + [s for s, _ in self._checkpoints()]
         return 1 + max(seqs, default=0)
@@ -169,13 +185,20 @@ class ManifestLog:
         (tmp+fsync+link) BEFORE any commit file is deleted, and
         ``committed_files`` de-duplicates, so a reader that sees both the
         checkpoint and a not-yet-deleted commit reads each data file once."""
+        self._sweep_tmp()
         commits = self._commit_seqs()
         ckpts = self._checkpoints()
         if not commits and len(ckpts) <= 1:
             return None
         tables: dict[str, list[str]] = {}
+        floor = ckpts[-1][0] if ckpts else 0
         base = ckpts[-1][1] if ckpts else None
-        parts = ([base] if base else []) + [p for _, p in commits]
+        # skip commits already folded into the base checkpoint (mirrors the
+        # read path): a compaction that crashed between checkpoint publish
+        # and commit deletion must not duplicate those files' entries into
+        # the next checkpoint (ADVICE r3)
+        live_commits = [(s, p) for s, p in commits if s > floor]
+        parts = ([base] if base else []) + [p for _, p in live_commits]
         for path in parts:
             try:
                 doc = self._load(path)
@@ -189,7 +212,12 @@ class ManifestLog:
                 continue
             for name, files in doc.get("tables", {}).items():
                 tables.setdefault(name, []).extend(files)
-        top = max([s for s, _ in commits], default=ckpts[-1][0] if ckpts else 0)
+        # belt-and-braces dedupe (first-seen order) so duplicates can never
+        # persist and grow through successive folds
+        tables = {n: list(dict.fromkeys(fs)) for n, fs in tables.items()}
+        # the new checkpoint seq must never regress below the base floor —
+        # resurrected stale commits (crashed prior compaction) are <= floor
+        top = max([s for s, _ in live_commits] + [floor])
         data = json.dumps({"tables": tables, "meta": {"checkpoint_of": top}},
                           sort_keys=True).encode()
         tmp = os.path.join(self.commits_dir, f"_tmp-{uuid.uuid4().hex}")
@@ -249,6 +277,18 @@ class ManifestLog:
             doc = self._load(path)  # _Vanished → caller re-lists
             if doc is not None:
                 out.extend(doc.get("tables", {}).get(name, []))
+        # Reader race (ADVICE r3, medium): a compaction finishing entirely
+        # between our checkpoint listing and our commit listing leaves no
+        # file to vanish mid-read — the folded commits are simply absent
+        # from the second listing, silently dropping durably committed data
+        # (or ALL data, when no checkpoint existed at first list time). The
+        # two listings are consistent only if the checkpoint head did not
+        # move while we enumerated; otherwise retry with a fresh snapshot.
+        ckpts_after = self._checkpoints()
+        head_after = ckpts_after[-1][0] if ckpts_after else 0
+        head_before = ckpts[-1][0] if ckpts else 0
+        if head_after != head_before:
+            raise ManifestLog._Vanished("checkpoint head moved during read")
         # de-dup (checkpoint published while commits not yet deleted),
         # preserve first-seen order
         out = list(dict.fromkeys(out))

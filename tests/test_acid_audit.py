@@ -216,3 +216,86 @@ def test_concurrent_commit_seq_race(spark, tmp_path):
     s2 = log.commit({"t": df})
     assert s2 == s1 + 2
     assert len(glob.glob(os.path.join(log.commits_dir, "*.json"))) == 3
+
+
+def _file_commit(log, name, path, data_dir):
+    """Publish one file-level commit referencing a real (touched) file."""
+    os.makedirs(data_dir, exist_ok=True)
+    open(path, "a").close()
+    return log._publish({"tables": {name: [path]}, "meta": {}})
+
+
+def test_reader_race_compaction_between_listings(spark, tmp_path):
+    """ADVICE r3 (medium): a compaction finishing ENTIRELY between the
+    reader's checkpoint listing and its commit listing leaves nothing to
+    vanish mid-read — before the fix the reader silently returned an empty
+    snapshot (no checkpoint existed at first list time, all commits deleted
+    by second list time). The fix detects the moved checkpoint head,
+    raises _Vanished internally, and retries with a consistent snapshot."""
+    root = str(tmp_path / "m")
+    log = ManifestLog(root)
+    data_dir = str(tmp_path / "m" / "t")
+    paths = [os.path.join(data_dir, f"f{i}.parquet") for i in range(5)]
+    for p in paths:
+        _file_commit(log, "t", p, data_dir)
+    assert len(log._checkpoints()) == 0
+
+    compactor = ManifestLog(root)  # separate handle, same directory
+    real_commit_seqs = log._commit_seqs
+    fired = {"n": 0}
+
+    def racing_commit_seqs():
+        # fire a full compaction the FIRST time the reader enumerates
+        # commits — i.e. after it has already listed checkpoints (none)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            compactor.compact()
+        return real_commit_seqs()
+
+    log._commit_seqs = racing_commit_seqs
+    files = log.committed_files("t")
+    assert sorted(files) == sorted(paths)  # not [] — retry saw the checkpoint
+    assert fired["n"] == 1
+
+
+def test_crashed_compaction_does_not_duplicate_entries(spark, tmp_path):
+    """ADVICE r3 (low): a compaction that crashed between checkpoint publish
+    and commit deletion leaves stale commits with seq <= the checkpoint
+    floor; the next compact must not duplicate their files' entries."""
+    import json as _json
+
+    root = str(tmp_path / "m")
+    log = ManifestLog(root)
+    data_dir = str(tmp_path / "m" / "t")
+    paths = [os.path.join(data_dir, f"f{i}.parquet") for i in range(3)]
+    for p in paths:
+        _file_commit(log, "t", p, data_dir)
+    top = log.compact()
+    assert top == 3
+    # simulate the crash: resurrect a folded commit (seq 1 <= floor 3)
+    with open(os.path.join(log.commits_dir, "00000001.json"), "w") as f:
+        f.write(_json.dumps({"tables": {"t": [paths[0]]}, "meta": {}}))
+    log.compact()
+    (_, ckpt_path), = log._checkpoints()
+    with open(ckpt_path) as f:
+        entries = _json.load(f)["tables"]["t"]
+    assert len(entries) == len(set(entries)) == 3
+    assert sorted(log.committed_files("t")) == sorted(paths)
+
+
+def test_compact_sweeps_stale_tmp_files(spark, tmp_path):
+    """ADVICE r3 (low): orphan _tmp-* files from a crash between fsync and
+    unlink are garbage-collected by compact(); fresh tmps are left alone."""
+    root = str(tmp_path / "m")
+    log = ManifestLog(root)
+    data_dir = str(tmp_path / "m" / "t")
+    _file_commit(log, "t", os.path.join(data_dir, "f0.parquet"), data_dir)
+    _file_commit(log, "t", os.path.join(data_dir, "f1.parquet"), data_dir)
+    stale = os.path.join(log.commits_dir, "_tmp-deadbeef")
+    fresh = os.path.join(log.commits_dir, "_tmp-cafebabe")
+    open(stale, "w").close()
+    open(fresh, "w").close()
+    os.utime(stale, (0, 0))  # ancient mtime → eligible for sweep
+    log.compact()
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # age-gated: in-flight tmp untouched
