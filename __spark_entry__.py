@@ -769,8 +769,240 @@ def q_maritime_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+# ---------------------------------------------------------------------------
+# Round-4 additions: distance + fuel-ROB families (VERDICT r3 next #2), span
+# rules + fingerprint (next #3), SimHash pairs + IVF (next #6) into the gate.
+# ---------------------------------------------------------------------------
+
+# Distance fixture: lat/lon walk + observed distance derived from `events`
+# with engine-portable integer arithmetic (same pattern as
+# _MARITIME_CTX_COLS). REPORT_DATE := event_id (unique per vessel → the lag
+# window is deterministic in both engines).
+_DISTANCE_CTX_COLS: list[tuple[str, str]] = [
+    ("LATITUDE", "CASE WHEN event_id % 59 = 0 THEN NULL "
+                 "ELSE (event_id * 17 % 1200) / 10.0 - 60.0 END"),
+    ("LONGITUDE", "CASE WHEN event_id % 61 = 0 THEN NULL "
+                  "ELSE (event_id * 23 % 3600) / 10.0 - 180.0 END"),
+    ("OBSERVERD_DISTANCE",
+     "CASE WHEN event_id % 43 = 0 THEN NULL WHEN event_id % 41 = 0 THEN -5.0 "
+     "WHEN event_id % 37 = 0 THEN 0.0 WHEN event_id % 31 = 0 THEN 600.0 "
+     "ELSE (event_id * 7 % 4800) / 10.0 END"),
+    ("STEAMING_TIME_HRS", "CASE WHEN event_id % 29 = 0 THEN 0.0 "
+                          "ELSE CAST(event_id % 24 + 1 AS DOUBLE) END"),
+]
+
+
+def q_maritime_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance family in the hard gate (SURVEY F6 haversine + W1
+    partition-correct lag + DST rules; ref distance_validation.py:56-104):
+    per-vessel lag of (lat, lon) → haversine calc_distance → the 4 DST fire
+    predicates. calc_distance is rounded to 6 dp on BOTH sides before the
+    0.9/1.1 alignment band so trig-ulp differences between JVM Math and
+    libm can never flip the predicate."""
+    from datavalidation_spark.rules.core import violations as viol
+    from datavalidation_spark.rules.maritime import distance_context, distance_rules
+
+    ev = _t(spark, sf_dir, "events")
+    logs = ev.select(
+        F.col("user_id").cast("string").alias("VESSEL_NAME"),
+        F.col("event_id").alias("REPORT_DATE"),
+        *[F.expr(sql).alias(name) for name, sql in _DISTANCE_CTX_COLS],
+    )
+    ctx = distance_context(logs).withColumn(
+        "calc_distance", F.round("calc_distance", 6)
+    )
+    return viol(ctx, distance_rules(), ["VESSEL_NAME", "REPORT_DATE"]).select(
+        F.col("VESSEL_NAME").alias("vessel"),
+        F.col("REPORT_DATE").alias("report_seq"),
+        "rule_id",
+        "severity",
+        "remarks",
+    )
+
+
+# Fuel-ROB fixture: per-vessel quarter-grid balance series (every value is a
+# multiple of 0.25 → exactly representable in binary → round(x,2) and %.2f
+# are bit-identical across engines). Base balance holds by construction
+# (ROB_t − ROB_{t−1} = BUNKER − CONS = −step); violations are planted via a
+# +0.5 ROB perturbation (event_id % 11) and NULL bunker/cons (filled to 0 by
+# fuel_rob_context's na.fill, breaking the balance deterministically).
+def _fuel_rob_exprs(fi: int) -> dict[str, str]:
+    # outer CAST(.. AS DOUBLE): both engines parse '1000.0' as DECIMAL, and
+    # decimal propagation breaks %.2f formatting (Spark format_string throws
+    # IllegalFormatConversion on Decimal) — the rule layer expects doubles
+    k = fi + 1
+    return {
+        "rob": f"CAST(CASE WHEN (event_id + {fi}) % 17 = 0 THEN NULL "
+               f"ELSE 1000.0 - rn * {k} / 4.0 "
+               f"+ CASE WHEN (event_id + {fi}) % 11 = 0 THEN 0.5 ELSE 0.0 END END"
+               f" AS DOUBLE)",
+        "bunker": f"CAST(CASE WHEN (event_id + {fi}) % 13 = 0 THEN NULL "
+                  f"WHEN rn % 10 = 0 THEN 2.5 ELSE 0.0 END AS DOUBLE)",
+        "cons": f"CAST(CASE WHEN (event_id + {fi}) % 19 = 0 THEN NULL "
+                f"ELSE {k} / 4.0 + CASE WHEN rn % 10 = 0 THEN 2.5 ELSE 0.0 END END"
+                f" AS DOUBLE)",
+    }
+
+
+def q_maritime_fuel_rob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuel-ROB family in the hard gate (SURVEY W2 six-fuel lag continuity +
+    F8 2-dp ROB balance; ref fuel_rob_validation.py:58-81): one window for
+    all six prev-ROB lags, round-2dp balance equality, remark parity down to
+    the %.2f-formatted calculated/actual/difference values."""
+    from datavalidation_spark.rules.core import violations as viol
+    from datavalidation_spark.rules.maritime import (
+        FUEL_TYPES,
+        fuel_rob_context,
+        fuel_rob_rules,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    base = ev.withColumn("rn", F.row_number().over(w))
+    cols = [
+        F.col("user_id").cast("string").alias("VESSEL_NAME"),
+        F.col("event_id").alias("REPORT_DATE"),
+    ]
+    for fi, fuel in enumerate(FUEL_TYPES):
+        e = _fuel_rob_exprs(fi)
+        cols += [
+            F.expr(e["rob"]).alias(f"ROB_{fuel}"),
+            F.expr(e["bunker"]).alias(f"BUNKERED_QTY_{fuel}"),
+            F.expr(e["cons"]).alias(f"TOTAL_CONSUMPTION_{fuel}"),
+        ]
+    ctx = fuel_rob_context(base.select(*cols))
+    return viol(ctx, fuel_rob_rules(), ["VESSEL_NAME", "REPORT_DATE"]).select(
+        F.col("VESSEL_NAME").alias("vessel"),
+        F.col("REPORT_DATE").alias("report_seq"),
+        "rule_id",
+        "severity",
+        "remarks",
+    )
+
+
+# Span fixture: a deterministic spans array derived per events row — the
+# north_star's own data model (kind enum / offset monotonicity / text-media
+# mutex / span-sequence fingerprint) in the hard gate (VERDICT r3 next #3).
+# `i` is the 1-based span index inside the per-doc transform; every planted
+# violation keys off (event_id * 31 + i * 7) so both engines derive the
+# identical array.
+def _span_field_exprs(cast_str: str) -> dict[str, str]:
+    j = "(event_id * 31 + i * 7)"
+    kind = (f"CASE WHEN {j} % 17 = 0 THEN 'bogus' "
+            f"WHEN {j} % 3 = 0 THEN 'image' ELSE 'text' END")
+    return {
+        "kind": kind,
+        "text": (f"CASE WHEN ({kind}) = 'text' THEN "
+                 f"(CASE WHEN {j} % 23 = 0 THEN NULL "
+                 f"ELSE 'tok' || CAST({j} % 100 AS {cast_str}) END) "
+                 f"ELSE (CASE WHEN {j} % 37 = 0 THEN 'stray' ELSE NULL END) END"),
+        "media_ref": (f"CASE WHEN ({kind}) = 'text' THEN "
+                      f"(CASE WHEN {j} % 41 = 0 THEN "
+                      f"'asset_' || CAST({j} % 50 AS {cast_str}) ELSE NULL END) "
+                      f"ELSE (CASE WHEN {j} % 29 = 0 THEN NULL "
+                      f"ELSE 'asset_' || CAST({j} % 50 AS {cast_str}) END) END"),
+        "offset": (f"CASE WHEN {j} % 19 = 0 THEN NULL "
+                   f"ELSE CAST(i * 10 - (CASE WHEN {j} % 13 = 0 THEN 15 "
+                   f"ELSE 0 END) AS INT) END"),
+    }
+
+
+_SPAN_STRUCT_T = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def _spark_spans_sql() -> str:
+    e = _span_field_exprs("STRING")
+    return (
+        f"CASE WHEN event_id % 5 = 0 THEN CAST(array() AS {_SPAN_STRUCT_T}) "
+        f"ELSE transform(sequence(1, CAST(event_id % 5 AS INT)), "
+        f"i -> named_struct('kind', {e['kind']}, 'text', {e['text']}, "
+        f"'media_ref', {e['media_ref']}, 'offset', {e['offset']})) END"
+    )
+
+
+def q_span_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-rule catalog + span-sequence fingerprint in the hard gate: the
+    real engine functions (engine/spans.py span_rules HOF path +
+    span_fingerprint md5) evaluated over the derived fixture; the oracle
+    re-derives the identical array with DuckDB list functions and
+    transcribes the three fire predicates + DOC-EMPTY + the md5
+    serialization. fired_csv is the alphabetically-sorted rule-id list."""
+    from datavalidation_spark.engine.spans import span_fingerprint, span_rules
+
+    ev = _t(spark, sf_dir, "events")
+    docs = ev.select(
+        F.col("event_id").alias("doc_key"),
+        F.expr(_spark_spans_sql()).alias("spans"),
+    )
+    ann = annotate(docs, span_rules("spans"), out="_v")
+    return ann.select(
+        "doc_key",
+        F.array_join(
+            F.array_sort(F.transform("_v", lambda x: x["rule_id"])), ","
+        ).alias("fired_csv"),
+        span_fingerprint("spans").alias("fingerprint"),
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (block-permutation LSH + bit_count verify) in
+    the hard gate (VERDICT r3 next #6). With max_hamming=3 and 4 blocks the
+    pigeonhole guarantee makes blocking exact, so the oracle can verify with
+    a plain O(n²) self-join over the bit-identical md5-family signatures."""
+    from datavalidation_spark.operators.dedup import simhash_pairs
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return simhash_pairs(docs, max_hamming=3, n_blocks=4).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in the hard gate via the recall-tolerance pattern (VERDICT r3
+    next #6; same shape as td_ok/hll_ok): exact top-5 and IVF top-5 are both
+    computed in-plan, per-query recall is aggregated, and the driver-facing
+    columns are exact scalars plus booleans the DuckDB oracle asserts TRUE.
+    Thresholds carry margin over measured values (avg 0.71–0.76, min 0.4 at
+    both gate SFs with n_probe=8/16 cells): a broken centroid assignment or
+    probe ranking craters recall and flips the row red. The IVF internals
+    (xxhash64 seeding + Lloyd refinement) are deliberately NOT transcribed —
+    sketch-style accuracy gating is the contract, not bit equality."""
+    from datavalidation_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < 20)
+    exact = cosine_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(q, emb, k=5, n_cells=16, n_probe=8).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        (F.avg("recall") >= 0.55).alias("avg_recall_ok"),
+        (F.min("recall") >= 0.2).alias("min_recall_ok"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maritime_catalog": q_maritime_catalog,
+    "maritime_distance": q_maritime_distance,
+    "maritime_fuel_rob": q_maritime_fuel_rob,
+    "span_rules": q_span_rules,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "physics_model_check": q_physics_model_check,
     "group_topk": q_group_topk,
     "profile_sketches": q_profile_sketches,
@@ -1053,9 +1285,208 @@ _NORM_EMB_SQL = """
 """
 
 
+def _distance_oracle_sql() -> str:
+    """Transcribes rules/maritime.py::distance_rules over the derived
+    lat/lon fixture: per-vessel lag, haversine (R=6371, exactly the
+    formula in rules/core.py::haversine_km), calc rounded to 6 dp on both
+    sides, then the four DST fire predicates + remark strings."""
+    cols = ",\n                   ".join(
+        f"{sql} AS {name.lower()}" for name, sql in _DISTANCE_CTX_COLS
+    )
+    rules = [
+        ("DST-NEG", "Observed Distance is negative",
+         "obs IS NOT NULL AND obs < 0"),
+        ("DST-MAX", "Observed Distance too high",
+         "obs IS NOT NULL AND obs > 500"),
+        ("DST-ZERO-STEAM", "Observed Distance is zero when steaming",
+         "coalesce(obs = 0 AND steaming > 0, FALSE)"),
+        ("DST-ALIGN", "Observed Distance not aligned with calculated distance",
+         "NOT coalesce(0.9 * calc_distance <= obs "
+         "AND obs <= 1.1 * calc_distance, FALSE)"),
+    ]
+    branches = " UNION ALL ".join(
+        f"""SELECT vessel, report_seq, '{rid}' AS rule_id,
+                   'error' AS severity, '{remark}' AS remarks
+            FROM calc WHERE {pred}"""
+        for rid, remark, pred in rules
+    )
+    return f"""
+        WITH ctx AS (
+          SELECT CAST(user_id AS VARCHAR) AS vessel, event_id AS report_seq,
+                 {cols}
+          FROM events
+        ),
+        renamed AS (
+          SELECT vessel, report_seq, latitude, longitude,
+                 observerd_distance AS obs, steaming_time_hrs AS steaming
+          FROM ctx
+        ),
+        lagged AS (
+          SELECT *,
+                 lag(latitude) OVER w AS plat,
+                 lag(longitude) OVER w AS plon
+          FROM renamed
+          WINDOW w AS (PARTITION BY vessel ORDER BY report_seq)
+        ),
+        calc AS (
+          SELECT vessel, report_seq, obs, steaming,
+                 round(12742.0 * atan2(sqrt(a), sqrt(1.0 - a)), 6)
+                     AS calc_distance
+          FROM (
+            SELECT *,
+                   pow(sin(radians(latitude - plat) / 2), 2)
+                   + cos(radians(plat)) * cos(radians(latitude))
+                     * pow(sin(radians(longitude - plon) / 2), 2) AS a
+            FROM lagged
+          )
+        )
+        {branches}
+    """
+
+
+def _fuel_rob_oracle_sql() -> str:
+    """Transcribes rules/maritime.py::fuel_rob_rules over the quarter-grid
+    balance fixture: na.fill(0) → one lag per fuel → round-2dp balance
+    equality → %.2f remark (bit-exact: every value is a multiple of 0.25,
+    so round() and printf round nothing in either engine)."""
+    from datavalidation_spark.rules.maritime import FUEL_TYPES
+
+    branches = []
+    for fi, fuel in enumerate(FUEL_TYPES):
+        e = _fuel_rob_exprs(fi)
+        branches.append(f"""
+            SELECT vessel, report_seq, 'ROB-BAL-{fuel}' AS rule_id,
+                   'error' AS severity,
+                   printf('{fuel} ROB validation failed. Calculated: %.2f, Actual: %.2f, Difference: %.2f',
+                          calc, rob2, abs(rob2 - calc)) AS remarks
+            FROM (
+              SELECT vessel, report_seq, prev,
+                     round(coalesce(prev, 0.0) + bunker - cons, 2) AS calc,
+                     round(rob, 2) AS rob2
+              FROM (
+                SELECT vessel, report_seq, rob, bunker, cons,
+                       lag(rob) OVER (PARTITION BY vessel ORDER BY report_seq)
+                           AS prev
+                FROM (
+                  SELECT CAST(user_id AS VARCHAR) AS vessel,
+                         event_id AS report_seq,
+                         coalesce({e["rob"]}, 0.0) AS rob,
+                         coalesce({e["bunker"]}, 0.0) AS bunker,
+                         coalesce({e["cons"]}, 0.0) AS cons
+                  FROM (
+                    SELECT user_id, event_id,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY event_id) AS rn
+                    FROM events
+                  )
+                )
+              )
+            ) WHERE prev IS NOT NULL AND calc <> rob2""")
+    return " UNION ALL ".join(branches)
+
+
+def _span_rules_oracle_sql() -> str:
+    """Re-derives the spans fixture with DuckDB list functions and
+    transcribes engine/spans.py's fire predicates + the span_fingerprint
+    md5 serialization (chr(1)/chr(2) separators, chr(0) null sentinel —
+    verified byte-identical to Spark's '\\x01'/'\\x02'/'\\x00')."""
+    e = _span_field_exprs("VARCHAR")
+    sx = "struct_extract"
+    return f"""
+        WITH docs AS (
+          SELECT event_id AS doc_key,
+                 list_transform(range(1, CAST(event_id % 5 AS INT) + 1),
+                   i -> {{'kind': {e["kind"]}, 'text': {e["text"]},
+                          'media_ref': {e["media_ref"]},
+                          'offset': {e["offset"]}}}) AS spans
+          FROM events
+        ),
+        flags AS (
+          SELECT doc_key, spans,
+                 len(spans) = 0 AS empty,
+                 len(list_filter(spans, s -> {sx}(s, 'kind') IS NULL
+                     OR {sx}(s, 'kind') NOT IN
+                        ('text', 'image', 'audio', 'video'))) > 0 AS kindbad,
+                 (len(list_filter(range(2, len(spans) + 1),
+                      k -> coalesce(
+                          {sx}(list_extract(spans, k), 'offset')
+                          <= {sx}(list_extract(spans, k - 1), 'offset'),
+                          TRUE))) > 0
+                  OR len(list_filter(spans,
+                         s -> {sx}(s, 'offset') IS NULL)) > 0) AS monobad,
+                 len(list_filter(spans,
+                     s -> CASE WHEN {sx}(s, 'kind') = 'text'
+                          THEN {sx}(s, 'text') IS NULL
+                               OR {sx}(s, 'media_ref') IS NOT NULL
+                          ELSE {sx}(s, 'media_ref') IS NULL
+                               OR {sx}(s, 'text') IS NOT NULL END)) > 0
+                     AS mutexbad
+          FROM docs
+        )
+        SELECT doc_key,
+               -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+               -- concat_ws over an empty array is '' — align on ''
+               coalesce(array_to_string(list_filter([
+                   CASE WHEN empty THEN 'DOC-EMPTY' END,
+                   CASE WHEN NOT empty AND kindbad THEN 'SPAN-KIND-ENUM' END,
+                   CASE WHEN NOT empty AND mutexbad THEN 'SPAN-MUTEX' END,
+                   CASE WHEN NOT empty AND monobad THEN 'SPAN-OFFSET-MONO' END
+               ], x -> x IS NOT NULL), ','), '') AS fired_csv,
+               md5(coalesce(array_to_string(list_transform(spans, s ->
+                   coalesce({sx}(s, 'kind'), chr(0)) || chr(2)
+                   || coalesce({sx}(s, 'text'), chr(0)) || chr(2)
+                   || coalesce({sx}(s, 'media_ref'), chr(0))), chr(1)), ''))
+                   AS fingerprint
+        FROM flags
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maritime_catalog": _maritime_oracle_sql(),
+        "maritime_distance": _distance_oracle_sql(),
+        "maritime_fuel_rob": _fuel_rob_oracle_sql(),
+        "span_rules": _span_rules_oracle_sql(),
+        # simhash_pairs with max_hamming (3) <= n_blocks-1 (3): pigeonhole
+        # makes the block-LSH exact, so the oracle verifies with a plain
+        # self-join over the bit-identical md5-family signature halves
+        # (hamming on the 64-bit sig == hamming(hi32) + hamming(lo32)).
+        "dedup_simhash_pairs": f"""
+            WITH tok AS (
+              SELECT doc_id AS id, unnest({_TOKS}) AS t
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ),
+            halves AS (
+              SELECT id,
+                     ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                     ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+              FROM tok
+            ),
+            votes AS (
+              SELECT id,
+                     {_SIMHASH_VOTES_SQL}
+              FROM halves GROUP BY id
+            ),
+            sig AS (
+              SELECT id, {_SIMHASH_HI_SQL} AS shi, {_SIMHASH_LO_SQL} AS slo
+              FROM votes
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.shi, b.shi))
+                        + bit_count(xor(a.slo, b.slo)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.id < b.id
+            WHERE bit_count(xor(a.shi, b.shi))
+                  + bit_count(xor(a.slo, b.slo)) <= 3
+        """,
+        # recall-tolerance gate (same pattern as td_ok/hll_ok): the oracle
+        # asserts the in-plan recall booleans TRUE and pins n_queries.
+        "ann_ivf_topk": """
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   TRUE AS avg_recall_ok,
+                   TRUE AS min_recall_ok
+            FROM embeddings WHERE vec_id < 20
+        """,
         "physics_model_check": """
             SELECT l_orderkey, l_linenumber, 'PRICE-MODEL' AS rule_id
             FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
