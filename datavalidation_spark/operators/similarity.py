@@ -435,25 +435,42 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """IVF: assign corpus rows to nearest of n_cells centroids (sampled then
-    one Lloyd refinement — deterministic), probe n_probe cells per query."""
+    one Lloyd refinement — deterministic), probe n_probe cells per query.
+
+    Round-4 shape: centroids live in a tiny broadcast DataFrame and every
+    assignment is a broadcast cross join + lexicographic max — the round-3
+    version inlined all centroids as literal arrays (n_cells·dim literals
+    per expression: a codegen tree janino chews on for seconds per job,
+    measured 23 s for the contract query vs ~4 s this way). rows·centroids
+    arithmetic is identical; only the plan shape changed."""
+    spark = corpus.sparkSession
     n = normalized(corpus, vec_col).select(F.col(id_col).alias("neighbor_id"), "nvec")
     sample = np.array(
         [r.nvec for r in n.orderBy(F.xxhash64("neighbor_id", F.lit(seed))).limit(n_cells).collect()]
     )
-    # one refinement pass (distributed): assign → mean per cell
-    def assign_expr(centroids: np.ndarray, vec: str) -> Column:
-        sims = [
-            F.aggregate(
-                F.zip_with(F.col(vec), F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in centroids
-        ]
-        arr = F.array(*[F.struct(s.alias("sim"), F.lit(i).alias("cell")) for i, s in enumerate(sims)])
-        return F.array_max(arr)["cell"]
 
-    assigned = n.withColumn("cell", assign_expr(sample, "nvec"))
+    def centroid_df(cs: np.ndarray) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cs)],
+            "cell int, cvec array<double>",
+        )
+
+    def assign(vec_df: DataFrame, key: str, vec: str, cs: np.ndarray) -> DataFrame:
+        """Nearest-centroid cell per row; ties break to the larger cell id
+        (lexicographic max over (sim, cell) — same as the former
+        array_max-over-structs expression)."""
+        scored = vec_df.crossJoin(F.broadcast(centroid_df(cs))).select(
+            key, vec, "cell", _dot(F.col(vec), F.col("cvec")).alias("sim")
+        )
+        # map-side-combinable argmax; vec rides along via first() (constant
+        # within each key group — keys are unique ids)
+        return scored.groupBy(key).agg(
+            F.max(F.struct("sim", "cell"))["cell"].alias("cell"),
+            F.first(vec).alias(vec),
+        )
+
+    # one refinement pass (distributed): assign → mean per cell
+    assigned = assign(n, "neighbor_id", "nvec", sample)
     means = (
         assigned.groupBy("cell")
         .agg(*[F.avg(F.col("nvec")[i]).alias(f"m{i}") for i in range(sample.shape[1])])
@@ -466,30 +483,17 @@ def ivf_topk(
         if nv > 0:
             refined[r.cell] = v / nv
 
-    corpus_cells = n.withColumn("cell", assign_expr(refined, "nvec"))
+    corpus_cells = assign(n, "neighbor_id", "nvec", refined)
     q = normalized(queries, vec_col).select(F.col(id_col).alias("query_id"), F.col("nvec").alias("qvec"))
-    # per query: the n_probe nearest cells
-    probe_structs = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("qvec"), F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("sim"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(refined)
-        ]
-    )
-    q_cells = q.withColumn(
-        "cell",
-        F.explode(
-            F.transform(
-                F.slice(F.reverse(F.array_sort(probe_structs)), 1, n_probe),
-                lambda s: s["cell"],
-            )
-        ),
+    # per query: the n_probe nearest cells (desc sim, desc cell tie-break —
+    # same order the former reverse(array_sort(structs)) slice produced)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.desc("cell"))
+    q_cells = (
+        q.crossJoin(F.broadcast(centroid_df(refined)))
+        .select("query_id", "qvec", "cell", _dot(F.col("qvec"), F.col("cvec")).alias("sim"))
+        .withColumn("crank", F.row_number().over(wq))
+        .where(F.col("crank") <= n_probe)
+        .select("query_id", "qvec", "cell")
     )
     scored = q_cells.join(corpus_cells, "cell").where(
         F.col("query_id") != F.col("neighbor_id")
