@@ -759,12 +759,17 @@ def q_maritime_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("report_seq"),
         *[F.expr(sql).alias(name) for name, sql in _MARITIME_CTX_COLS],
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # one violations() pass PER FAMILY, unioned: all 35 rules in a single
-    # array expression is one unsplittable codegen expression that overflows
-    # janino's method limit and drops the whole projection to interpreted
-    # mode (measured 18 s vs 4 s at sf0.1); per-family projections stay in
-    # whole-stage codegen, reading the cached ctx.
-    fams = [M.me_rules(), M.ae_rules(), M.boiler_rules(), M.speed_rules(), M.slip_rules()]
+    # batched violations() passes, unioned: all 35 rules in ONE array
+    # expression risks janino's per-method codegen limit (r2 measured an
+    # 18 s interpreted-mode cliff), while one pass per family pays 5×
+    # stage/scan overhead. Three janino-safe groups is the measured optimum
+    # (sf0.1 min-of-2: 5 groups 1.13 s, 3 groups 0.74 s, 2 groups 0.71 s,
+    # 1 group 0.91 s) — keep 3 for codegen headroom over the 2-group shape.
+    fams = [
+        M.me_rules() + M.ae_rules(),
+        M.boiler_rules() + M.slip_rules(),
+        M.speed_rules(),
+    ]
     parts = [violations(ctx, f, ["vessel", "report_seq"]) for f in fams]
     return reduce(lambda a, b: a.unionByName(b), parts)
 
