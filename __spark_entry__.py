@@ -962,6 +962,18 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint near-dup pairs in the hard gate: k-gram
+    md5s → sliding-window minima → inverted-index pair join. Deterministic
+    md5-hex minima make the whole pipeline SQL-transcribable, so the oracle
+    reproduces fingerprints AND pairs value-for-value (operators/dedup.py::
+    winnow_fingerprints; Schleimer et al., SIGMOD'03 — public algorithm)."""
+    from datavalidation_spark.operators.dedup import winnow_dup_pairs
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return winnow_dup_pairs(docs, k=4, w=4, min_common=2, max_doc_freq=1000)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN in the hard gate via the recall-tolerance pattern (VERDICT r3
     next #6; same shape as td_ok/hll_ok): exact top-5 and IVF top-5 are both
@@ -1007,6 +1019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maritime_fuel_rob": q_maritime_fuel_rob,
     "span_rules": q_span_rules,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_winnow": q_dedup_winnow,
     "ann_ivf_topk": q_ann_ivf_topk,
     "physics_model_check": q_physics_model_check,
     "group_topk": q_group_topk,
@@ -1573,6 +1586,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.id = id_a
             JOIN sizes nb ON nb.id = id_b
             WHERE round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) >= 0.8
+        """,
+        # Winnowing: transcribes winnow_fingerprints/winnow_dup_pairs step
+        # by step — same k-gram md5s (k=4), same w=4 sliding minima with the
+        # short-doc boundary window, same df<=1000 hot-fingerprint cap.
+        "dedup_winnow": f"""
+            WITH base AS (
+              SELECT doc_id AS id, {_TOKS} AS t
+              FROM documents
+              WHERE text IS NOT NULL AND len({_TOKS}) >= 4
+            ),
+            grams AS (
+              SELECT id, i - 1 AS pos, len(t) - 3 AS m,
+                     md5(array_to_string(t[i:i+3], ' ')) AS g
+              FROM base, LATERAL unnest(range(1, len(t) - 2)) AS r(i)
+            ),
+            wins AS (
+              SELECT id, pos, m,
+                     min(g) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                         AS fp
+              FROM grams
+            ),
+            fps AS (
+              SELECT DISTINCT id, fp FROM wins
+              WHERE pos < greatest(m - 3, 1)
+            ),
+            freq AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+            idx AS (SELECT f.id, f.fp FROM fps f JOIN freq USING (fp)
+                    WHERE df <= 1000)
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+            FROM idx a JOIN idx b USING (fp)
+            WHERE a.id < b.id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
         "dedup_simhash": f"""
             WITH tok AS (

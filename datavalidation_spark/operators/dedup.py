@@ -414,3 +414,92 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS algorithm): every window of ``w`` consecutive k-gram hashes
+    contributes its minimum; the distinct window minima are the document's
+    fingerprint set. Guarantee: any token run of length >= w + k - 1 shared
+    by two documents yields at least one shared fingerprint — a *positional*
+    copy detector, complementary to MinHash (bag-of-shingles, probabilistic)
+    and to ``canonical_digest`` (whole-doc only).
+
+    Returns (id, fp) rows, one per distinct fingerprint.
+
+    Plan shape (100 TB first): the k-gram md5s are computed exactly once in
+    a generator projection (posexplode over a transform of the token array —
+    the Generate node is an optimizer boundary, so the md5 chain cannot be
+    re-inlined per consumer, cf. the projection-collapse trap that bit the
+    round-2 simhash), then the sliding minimum is ONE window aggregate
+    partitioned by doc id: a single shuffle of O(tokens) narrow rows, no
+    quadratic term anywhere. md5-hex string minima keep every intermediate
+    engine-portable for the DuckDB oracle. Documents shorter than ``k``
+    tokens produce no fingerprints (they carry no k-gram signal). A doc with
+    fewer than ``w`` k-grams contributes the min of what it has — the
+    boundary case the winnowing paper folds into the first window.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_t")
+    ).where(F.size("_t") >= k)
+    grams = base.select(
+        "id",
+        (F.size("_t") - (k - 1)).alias("m"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - k),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("_t", i + 1, k))),
+            )
+        ).alias("pos", "g"),
+    )
+    wnd = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fp", F.min("g").over(wnd))
+        .where(F.col("pos") < F.greatest(F.col("m") - (w - 1), F.lit(1)))
+        .select("id", "fp")
+        .distinct()
+    )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 4,
+    w: int = 4,
+    min_common: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b, n_shared) from shared
+    winnowing fingerprints — the distributed MOSS front-end.
+
+    Inverted index on fingerprints with the same corpus-derived hot-key cap
+    as ``jaccard_pairs``: a fingerprint present in more than ``max_doc_freq``
+    documents is boilerplate (licence headers, templated passages) and
+    carries no copy signal, while the cap bounds per-key join fan-out so the
+    index self-join stays linear in corpus size at any scale.
+    """
+    if max_doc_freq is None:
+        n_docs = df.select(id_col).count()
+        max_doc_freq = min(max(n_docs // 100, 50), 1000)
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    idx = fps.join(freq.where(F.col("df") <= max_doc_freq), "fp")
+    return (
+        idx.alias("a")
+        .join(idx.alias("b"), "fp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_common)
+    )

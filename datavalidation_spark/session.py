@@ -55,7 +55,13 @@ def get_spark(
         # fields out of parquet (on by default in recent Spark; pin anyway).
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode runs driver AND all executor threads in ONE JVM: the
+        # driver heap is the entire cluster memory. 8g with 32 task threads
+        # plus a 600k-row collect measured 4x slower than 32g on the
+        # maritime catalog (GC thrash, not compute) — size the local heap
+        # like the executor fleet it stands in for. On a real cluster
+        # spark-submit supplies driver/executor memory and this is inert.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -268,3 +268,91 @@ def test_jaccard_hot_shingle_guard_bounds_candidates(spark):
     # so J = 3 / (4 + 4 - 3) = 0.6 >= 0.5; the 10⁴ hot-token-only pairs
     # (J = 1/7 each) must never even become candidates
     assert got == {(7, 90001)}, got
+
+
+# --- winnowing (MOSS) fingerprints -----------------------------------------
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Any shared token run of length >= w + k - 1 (= 7 at k=4, w=4) must
+    yield at least one shared fingerprint — the winnowing paper's guarantee."""
+    from datavalidation_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 tokens
+    df = _docs_df(
+        spark,
+        [
+            (1, f"unrelated prefix one {shared} tail aaa bbb"),
+            (2, f"zz yy xx ww {shared} other suffix here"),
+        ],
+    )
+    fps = winnow_fingerprints(df, k=4, w=4).toPandas()
+    a = set(fps[fps.id == 1].fp)
+    b = set(fps[fps.id == 2].fp)
+    assert a & b, "7-token shared run must share a fingerprint"
+
+
+def test_winnow_short_doc_boundary(spark):
+    """Docs with < k tokens produce nothing; docs with k..k+w-1 tokens
+    produce exactly one fingerprint (the min over the single short window)."""
+    from datavalidation_spark.operators.dedup import winnow_fingerprints
+
+    df = _docs_df(spark, [(1, "a b c"), (2, "a b c d"), (3, "a b c d e f")])
+    fps = winnow_fingerprints(df, k=4, w=4).toPandas()
+    assert set(fps[fps.id == 1].fp) == set()
+    assert len(fps[fps.id == 2]) == 1
+    assert len(fps[fps.id == 3]) == 1  # 3 kgrams < w -> one boundary window
+
+
+def test_winnow_pairs_planted_and_cap(spark):
+    """A copied passage is detected; boilerplate shared by the whole corpus
+    is suppressed by the doc-frequency cap."""
+    from datavalidation_spark.operators.dedup import winnow_dup_pairs
+
+    passage = " ".join(f"tok{i}" for i in range(30))
+    boiler = "standard licence header apache version two zero"
+    rows = [(1, f"{passage} unique one end"), (2, f"start two {passage}")]
+    # 20 docs sharing ONLY the boilerplate line (df=22 > cap=10)
+    rows += [(100 + i, f"{boiler} body{i} filler{i} words{i} more{i}") for i in range(20)]
+    rows += [(200, boiler), (201, boiler)]
+    df = _docs_df(spark, rows)
+    pairs = winnow_dup_pairs(df, k=4, w=4, min_common=2, max_doc_freq=10).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert (1, 2) in got, "copied 30-token passage must pair"
+    assert not any(a >= 100 or b >= 100 for a, b in got), (
+        "boilerplate-only overlap above the df cap must not pair"
+    )
+
+
+def test_winnow_matches_pandas_oracle(spark):
+    """Value-level parity with a straight pandas transcription on real
+    sf0.001 documents (k=4, w=4)."""
+    import hashlib
+
+    from datavalidation_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = (
+        winnow_fingerprints(docs, k=4, w=4)
+        .toPandas()
+        .groupby("id")["fp"]
+        .apply(lambda s: tuple(sorted(s)))
+        .to_dict()
+    )
+    exp = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = (r.text or "").strip().lower().split()
+        if len(toks) < 4:
+            continue
+        grams = [
+            hashlib.md5(" ".join(toks[i : i + 4]).encode()).hexdigest()
+            for i in range(len(toks) - 3)
+        ]
+        n_win = max(len(grams) - 3, 1)
+        mins = {min(grams[i : i + 4]) for i in range(n_win)}
+        exp[r.doc_id] = tuple(sorted(mins))
+    assert got == exp
