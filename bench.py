@@ -12,7 +12,12 @@ only ever slows a run — so:
   * a bounded loadavg gate waits for a quiet host before the timed section;
   * the headline times k>=3 validation runs and publishes the MIN, with the
     full per-run list in the JSON for auditability;
-  * each contract query gets 1 warmup + 2 timed runs, min published.
+  * each contract query gets 1 warmup + 3 timed runs, min published;
+  * CPU steal time (/proc/stat) is sampled around the headline and the
+    query loop and published — hypervisor-level interference this VM can
+    neither prevent nor see in loadavg is at least *labeled* (observed:
+    a whole bench invocation inside a steal spike records 3-5x slower
+    minima with an idle guest).
 
 Env:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
@@ -55,10 +60,26 @@ def _wait_for_quiet_host(max_wait: int = 300) -> float:
     return load1
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — guest-visible hypervisor
+    interference counter."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else 0.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     k = max(int(os.environ.get("SPARK_GRAFT_BENCH_K", "3")), 1)
+    qk = max(int(os.environ.get("SPARK_GRAFT_BENCH_QK", "3")), 1)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     n_docs = max(int(DOCS_PER_SF * sf), 10_000)
@@ -91,6 +112,7 @@ def main() -> None:
 
     run_validation()  # warmup: JIT + codegen compile, excluded from metric
     gate_load = _wait_for_quiet_host()
+    steal0 = _cpu_ticks()
     runs: list[float] = []
     for _ in range(k):
         # driver GC: ContextCleaner only reclaims the previous run's
@@ -100,6 +122,7 @@ def main() -> None:
         t0 = time.perf_counter()
         n_violations, verd = run_validation()
         runs.append(time.perf_counter() - t0)
+    steal_headline = _steal_pct(steal0, _cpu_ticks())
     elapsed = min(runs)
     docs_per_sec = n_docs / elapsed
 
@@ -112,19 +135,21 @@ def main() -> None:
     catalog.unpersist()
     spark.sparkContext._jvm.System.gc()
 
-    # --- per-query timings at the bench SF (1 warmup + 2 timed, min) ------
+    # --- per-query timings at the bench SF (1 warmup + qk timed, min) -----
     q_times: dict[str, float] = {}
     q_runs: dict[str, list[float]] = {}
+    steal1 = _cpu_ticks()
     for name, fn in entry_mod.queries().items():
         fn(spark, sf_dir).collect()  # warmup
         trials = []
-        for _ in range(2):
+        for _ in range(qk):
             spark.sparkContext._jvm.System.gc()
             t = time.perf_counter()
             fn(spark, sf_dir).collect()
             trials.append(round(time.perf_counter() - t, 3))
         q_times[name] = min(trials)
         q_runs[name] = trials
+    steal_queries = _steal_pct(steal1, _cpu_ticks())
 
     print(
         json.dumps(
@@ -139,6 +164,8 @@ def main() -> None:
                 "validate_runs_sec": [round(t, 3) for t in runs],
                 "query_runs_sec": q_runs,
                 "gate_loadavg": gate_load,
+                "steal_pct_headline": steal_headline,
+                "steal_pct_queries": steal_queries,
                 "n_violations": n_violations,
                 "n_partitions": len(verd),
                 "cpus": cpus,
