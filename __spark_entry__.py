@@ -598,8 +598,12 @@ def q_profile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     qs = [0.25, 0.5, 0.75, 0.95]
-    li = _spread(spark, _t(spark, sf_dir, "lineitem"))
-    est = tdigest_quantile_df(li, cols, qs)
+    li = _t(spark, sf_dir, "lineitem")
+    # the digest stage is CPU-bound Python (one t-digest per partition), so
+    # it DOES want 32-way parallelism — but only the 3 profiled columns ride
+    # the repartition shuffle; the exact-percentile pass below is a pure
+    # partial aggregation and reads the scan directly (no shuffle)
+    est = tdigest_quantile_df(_spread(spark, li.select(*cols)), cols, qs)
     exact = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[
@@ -652,10 +656,15 @@ def q_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch accuracy into a hard gate instead of a rows-only check."""
     from datavalidation_spark.engine.profiling import profile_with_bounds
 
-    li = _spread(spark, _t(spark, sf_dir, "lineitem"))
-    return profile_with_bounds(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
-    )
+    # column-pruned BEFORE the spread: only the 4 profiled columns ride the
+    # repartition shuffle (4x fewer bytes — this query's instability source
+    # was the full-width shuffle hitting episodic virtual-disk throttling:
+    # 20-90 s stalls at ~0% CPU steal), and profile_with_bounds persists
+    # the spread input across its two aggregation passes so the shuffle
+    # runs once per invocation.
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+    li = _spread(spark, _t(spark, sf_dir, "lineitem").select(*cols))
+    return profile_with_bounds(li, cols)
 
 
 # ---------------------------------------------------------------------------

@@ -109,6 +109,16 @@ def profile_with_bounds(
     # aggregates in ONE agg makes Catalyst Expand the input N+1× and feed the
     # multiplied rows to EVERY aggregate (measured ~10× slower at sf0.1);
     # a distinct-only agg keeps the Expand away from the sketch pass.
+    from pyspark import StorageLevel
+
+    # both passes are materialized inside this function, so persist the
+    # input across them (released before returning): otherwise the
+    # scan/shuffle feeding the profile runs twice, and on this host a
+    # repartition shuffle is the dominant variance source (episodic
+    # virtual-disk throttling: 20-90 s stalls at ~0% CPU steal). Callers
+    # should pass a column-pruned df so the cache holds only the profiled
+    # columns.
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     aggs = [F.count(F.lit(1)).alias("_total")]
     for c in columns:
         col = F.col(c)
@@ -129,6 +139,7 @@ def profile_with_bounds(
     row1 = df.agg(
         *[F.countDistinct(F.col(c)).alias(f"{c}__exact_d") for c in columns]
     ).collect()[0]
+    df.unpersist()
     row = {**row0.asDict(), **row1.asDict()}
     total = row["_total"]
     out = []
