@@ -247,17 +247,21 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datavalidation_spark.operators.text import (
         quality_features,
         quality_score,
+        repetition_signals,
         token_count_bpe,
     )
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     f = quality_features(F.col("text"))
+    rep = repetition_signals(F.col("text"), n=2)
     return docs.select(
         "doc_id",
         f["n_tokens"].alias("n_tokens"),
         token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
         F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
         F.round(f["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(rep["dup_ngram_frac"], 6).alias("dup_ngram_frac"),
+        F.round(rep["top_token_frac"], 6).alias("top_token_frac"),
         quality_score(F.col("text")).alias("quality"),
     )
 
@@ -1544,6 +1548,18 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
                    round(list_sum(list_transform(toks, x -> length(x)))
                          / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+                   round(CASE WHEN len(toks) >= 2 THEN
+                       (len(toks) - 1
+                        - len(list_distinct(list_transform(
+                              range(1, len(toks)),
+                              i -> array_to_string(toks[i:i+1], ' ')))))
+                       / CAST(len(toks) - 1 AS DOUBLE)
+                       ELSE 0.0 END, 6) AS dup_ngram_frac,
+                   round(CASE WHEN len(toks) > 0 THEN
+                       list_max(list_transform(list_distinct(toks),
+                           t -> len(list_filter(toks, x -> x = t))))
+                       / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END, 6) AS top_token_frac,
                    round((least(len(toks) / 20.0, 1.0)
                           + greatest(0.0, 1.0 - (n_punct / CAST(length(text) AS DOUBLE)) * 5.0)
                           + CASE WHEN list_sum(list_transform(toks, x -> length(x)))

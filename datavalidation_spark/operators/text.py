@@ -108,6 +108,45 @@ def quality_score(text: Column) -> Column:
     return F.round((len_ok + punct_ok + wlen_ok) / 3.0, 6)
 
 
+def repetition_signals(text: Column, n: int = 2) -> dict[str, Column]:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public):
+
+    * ``dup_ngram_frac``  — fraction of word n-grams that are repeats of an
+      earlier n-gram in the same document (templated/looping text scores
+      high); 0.0 for docs with fewer than n tokens.
+    * ``top_token_frac`` — frequency share of the most common token (a
+      single token dominating the doc is the classic degenerate-generation
+      signature); 0.0 for empty docs.
+
+    Pure Column expressions — O(tokens·distinct) per row worst case, all
+    inside whole-stage codegen, no UDF.
+    """
+    toks = tokens(text)
+    m = F.size(toks) - (n - 1)
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_frac = F.when(
+        m >= 1,
+        (m - F.size(F.array_distinct(grams))) / m.cast("double"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.size(toks) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).cast("double")
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    return {"dup_ngram_frac": dup_frac, "top_token_frac": top_frac}
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the canonicalized token stream (case/
     whitespace-insensitive). Rolling-hash analog that is portable across
