@@ -177,3 +177,34 @@ def test_date_math_helpers(spark):
         F.col("ts").cast("timestamp").alias("ts")
     )
     assert fut.select(within_days(F.col("ts"), cutoff, 30).alias("ok")).collect()[0].ok is False
+
+
+# --- winnowing guarantee (Schleimer et al. 03, theorem 1) -------------------
+
+_words = st.sampled_from(
+    ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+     "hotel", "india", "juliet", "kilo", "lima", "mike", "november"]
+)
+
+
+@SET
+@given(
+    shared=st.lists(_words, min_size=7, max_size=15),   # >= w + k - 1 at k=w=4
+    pre_a=st.lists(_words, min_size=0, max_size=6),
+    suf_a=st.lists(_words, min_size=0, max_size=6),
+    pre_b=st.lists(_words, min_size=0, max_size=6),
+    suf_b=st.lists(_words, min_size=0, max_size=6),
+)
+def test_winnow_guarantee_property(spark, shared, pre_a, suf_a, pre_b, suf_b):
+    """Any two docs sharing a token run of length >= w + k - 1 share at
+    least one winnowing fingerprint, regardless of surrounding context —
+    the fingerprinting guarantee the pair join relies on."""
+    from datavalidation_spark.operators.dedup import winnow_fingerprints
+
+    doc_a = " ".join(pre_a + shared + suf_a)
+    doc_b = " ".join(pre_b + shared + suf_b)
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=4, w=4).toPandas()
+    a = set(fps[fps.id == 1].fp)
+    b = set(fps[fps.id == 2].fp)
+    assert a & b, f"no shared fingerprint for shared run of {len(shared)} tokens"
