@@ -95,7 +95,8 @@ def _dup_flag_fn(id_col: str):
                     first = int(doc_id)  # first sighting ever: not a dup
                     continue
                 out.append((int(doc_id), digest, first, "DOC-UNIQUE-STREAM"))
-        state.update((int(first),))
+        if first is not None:  # a state-only invocation carries no rows
+            state.update((int(first),))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in DUP_OUT_SCHEMA.fields])
 
