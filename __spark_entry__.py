@@ -987,6 +987,49 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_dup_pairs(docs, k=4, w=4, min_common=2, max_doc_freq=1000)
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation verdicts — the composition a pretraining
+    pipeline actually runs: language gate, length gate, quality gate,
+    repetition gate, exact-dup drop (keep the smallest doc_id per canonical
+    digest). One row per doc with keep + the first failing reason, all
+    pure Column ops plus one digest aggregation."""
+    from pyspark.sql.window import Window
+
+    from datavalidation_spark.operators.dedup import canonical_digest
+    from datavalidation_spark.operators.text import (
+        detect_lang,
+        quality_features,
+        quality_score,
+        repetition_signals,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    f = quality_features(F.col("text"))
+    rep = repetition_signals(F.col("text"), n=2)
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    scored = docs.select(
+        "doc_id",
+        detect_lang(F.col("text")).alias("lang"),
+        f["n_tokens"].alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        rep["dup_ngram_frac"].alias("dup_ngram_frac"),
+        canonical_digest(F.col("text")).alias("digest"),
+    ).withColumn("dup_rank", F.row_number().over(w))
+    reason = (
+        F.when(F.col("lang") != "en", F.lit("lang"))
+        .when(F.col("n_tokens") < 10, F.lit("too_short"))
+        .when(F.col("quality") < 0.5, F.lit("low_quality"))
+        .when(F.col("dup_ngram_frac") > 0.3, F.lit("repetitive"))
+        .when(F.col("dup_rank") > 1, F.lit("duplicate"))
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        reason.isNull().alias("keep"),
+        F.coalesce(reason, F.lit("ok")).alias("reason"),
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN in the hard gate via the recall-tolerance pattern (VERDICT r3
     next #6; same shape as td_ok/hll_ok): exact top-5 and IVF top-5 are both
@@ -1033,6 +1076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_rules": q_span_rules,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_winnow": q_dedup_winnow,
+    "corpus_filter": q_corpus_filter,
     "ann_ivf_topk": q_ann_ivf_topk,
     "physics_model_check": q_physics_model_check,
     "group_topk": q_group_topk,
@@ -1611,6 +1655,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.id = id_a
             JOIN sizes nb ON nb.id = id_b
             WHERE round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) >= 0.8
+        """,
+        # Corpus curation: language/length/quality/repetition gates + exact-
+        # dup drop, transcribed from the same expressions the text_quality /
+        # detect_lang / dedup_exact oracles already pin individually.
+        "corpus_filter": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKS} AS toks,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     {_HITS_SQL['en']} AS en_hits,
+                     {_HITS_SQL['es']} AS es_hits,
+                     {_HITS_SQL['fr']} AS fr_hits,
+                     {_HITS_SQL['de']} AS de_hits,
+                     {_HITS_SQL['zh']} AS zh_hits,
+                     md5(array_to_string({_TOKS}, ' ')) AS digest
+              FROM documents
+            ),
+            scored AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) = 0
+                          THEN 'und'
+                          WHEN zh_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'zh'
+                          WHEN fr_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'fr'
+                          WHEN es_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'es'
+                          WHEN en_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'en'
+                          ELSE 'de' END AS lang,
+                     len(toks) AS n_tokens,
+                     round((least(len(toks) / 20.0, 1.0)
+                            + greatest(0.0, 1.0 - (n_punct / CAST(length(text) AS DOUBLE)) * 5.0)
+                            + CASE WHEN list_sum(list_transform(toks, x -> length(x)))
+                                        / CAST(len(toks) AS DOUBLE) BETWEEN 2.0 AND 12.0
+                                   THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS quality,
+                     CASE WHEN len(toks) >= 2 THEN
+                         (len(toks) - 1
+                          - len(list_distinct(list_transform(
+                                range(1, len(toks)),
+                                i -> array_to_string(toks[i:i+1], ' ')))))
+                         / CAST(len(toks) - 1 AS DOUBLE)
+                         ELSE 0.0 END AS dup_ngram_frac,
+                     row_number() OVER (PARTITION BY digest ORDER BY doc_id)
+                         AS dup_rank
+              FROM t
+            )
+            SELECT doc_id, lang,
+                   (reason IS NULL) AS keep,
+                   coalesce(reason, 'ok') AS reason
+            FROM (
+              SELECT doc_id, lang,
+                     CASE WHEN lang <> 'en' THEN 'lang'
+                          WHEN n_tokens < 10 THEN 'too_short'
+                          WHEN quality < 0.5 THEN 'low_quality'
+                          WHEN dup_ngram_frac > 0.3 THEN 'repetitive'
+                          WHEN dup_rank > 1 THEN 'duplicate'
+                     END AS reason
+              FROM scored
+            )
         """,
         # Winnowing: transcribes winnow_fingerprints/winnow_dup_pairs step
         # by step — same k-gram md5s (k=4), same w=4 sliding minima with the
