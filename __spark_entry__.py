@@ -1069,6 +1069,36 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the jaccard near-dup pair graph: connected
+    components via alternating large-star/small-star (Kiveris et al.
+    SoCC'14), canonical keeper = component-min doc_id. Curation semantics
+    the pair queries alone can't express: A~B and B~C collapse to ONE
+    surviving document even when A~C was never emitted."""
+    from datavalidation_spark.operators.clusters import (
+        dedup_cluster_assignments,
+    )
+    from datavalidation_spark.operators.dedup import jaccard_pairs
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(docs, shingle_n=1, threshold=0.8, max_doc_freq=1000)
+    return dedup_cluster_assignments(pairs).select(
+        F.col("id").alias("doc_id"), "rep", "cluster_size", "is_keeper"
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sample: 25 docs per language, winners
+    = smallest md5 hash ranks (portable — the oracle recomputes the exact
+    same ranks), with the hot-stratum prefilter path exercised."""
+    from datavalidation_spark.operators.sampling import sample_stratified
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return sample_stratified(
+        docs, "lang", 25, key_col="doc_id", salt="corpus", prefilter=True
+    ).select("doc_id", "lang", "sample_rank")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maritime_catalog": q_maritime_catalog,
     "maritime_distance": q_maritime_distance,
@@ -1085,6 +1115,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "detect_lang": q_detect_lang,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "sample_stratified": q_sample_stratified,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1149,6 +1181,35 @@ _HITS_SQL = {
     lang: f"len(list_filter({_TOKS}, t -> t IN ({words})))"
     for lang, words in _PROFILES_SQL.items()
 }
+
+# Jaccard pair-graph CTE chain (ends in `jp` = (id_a, id_b, jaccard)),
+# shared by the dedup_jaccard oracle and the dedup_clusters oracle, which
+# builds connected components over the same edge set. Mirrors
+# operators/dedup.py::jaccard_pairs at shingle_n=1, threshold=0.8,
+# max_doc_freq=1000 — the parameters q_dedup_jaccard / q_dedup_clusters use.
+_JACCARD_CTES_SQL = f"""toks AS (
+              SELECT doc_id AS id, unnest(list_distinct({_TOKS})) AS shingle
+              FROM documents
+            ),
+            sizes AS (SELECT id, count(*) AS n_sh FROM toks GROUP BY id),
+            freq AS (SELECT shingle, count(*) AS df FROM toks GROUP BY shingle),
+            idx AS (SELECT t.id, t.shingle FROM toks t JOIN freq USING (shingle)
+                    WHERE df <= 1000),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+              FROM idx a JOIN idx b USING (shingle)
+              WHERE a.id < b.id GROUP BY 1, 2
+            ),
+            jp AS (
+              SELECT id_a, id_b,
+                     round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6)
+                         AS jaccard
+              FROM pairs
+              JOIN sizes na ON na.id = id_a
+              JOIN sizes nb ON nb.id = id_b
+              WHERE round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6)
+                    >= 0.8
+            )"""
 
 # SimHash oracle pieces: 64 bit-vote sums over the md5 token-hash halves,
 # then signature bits recombined hi/lo and printed as 16 hex chars —
@@ -1635,26 +1696,42 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "dedup_jaccard": f"""
-            WITH toks AS (
-              SELECT doc_id AS id, unnest(list_distinct({_TOKS})) AS shingle
-              FROM documents
+            WITH {_JACCARD_CTES_SQL}
+            SELECT id_a, id_b, jaccard FROM jp
+        """,
+        # Connected components over the SAME jaccard pair graph: recursive
+        # min-label propagation (transitive closure is what a recursive CTE
+        # does natively; the Spark side uses alternating large/small-star —
+        # different algorithm, identical fixpoint).
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_JACCARD_CTES_SQL},
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM jp
+              UNION
+              SELECT id_b, id_a FROM jp
             ),
-            sizes AS (SELECT id, count(*) AS n_sh FROM toks GROUP BY id),
-            freq AS (SELECT shingle, count(*) AS df FROM toks GROUP BY shingle),
-            idx AS (SELECT t.id, t.shingle FROM toks t JOIN freq USING (shingle)
-                    WHERE df <= 1000),
-            pairs AS (
-              SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-              FROM idx a JOIN idx b USING (shingle)
-              WHERE a.id < b.id GROUP BY 1, 2
-            )
-            SELECT id_a, id_b,
-                   round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6)
-                       AS jaccard
-            FROM pairs
-            JOIN sizes na ON na.id = id_a
-            JOIN sizes nb ON nb.id = id_b
-            WHERE round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) >= 0.8
+            lbl(id, l) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.v, lbl.l FROM lbl JOIN edges e ON e.u = lbl.id
+            ),
+            rep AS (SELECT id, min(l) AS rep FROM lbl GROUP BY id),
+            sz AS (SELECT rep, count(*) AS cluster_size FROM rep GROUP BY rep)
+            SELECT r.id AS doc_id, r.rep AS rep, s.cluster_size,
+                   (r.id = r.rep) AS is_keeper
+            FROM rep r JOIN sz s USING (rep)
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5('corpus|'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                                doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 25
         """,
         # Corpus curation: language/length/quality/repetition gates + exact-
         # dup drop, transcribed from the same expressions the text_quality /

@@ -1,0 +1,103 @@
+"""Deterministic corpus sampling: hash-fraction and stratified top-k.
+
+Training-data pipelines constantly rebalance corpora (cap an over-represented
+language/source, downsample boilerplate-heavy domains). Doing it with
+``DataFrame.sample`` is non-reproducible across runs/partitionings; these
+operators derive the sampling decision from a portable md5 hash of the row
+key, so the SAME rows are kept on any cluster size, any partitioning, any
+engine (DuckDB reproduces the hash bit-for-bit — the decisions are
+oracle-checkable), and reruns of a resumable pipeline see a stable sample.
+
+Scale shape:
+
+* ``sample_fraction`` is a pure filter — codegen, no shuffle, pushes through
+  scans like any predicate.
+* ``sample_stratified`` ranks within strata: one shuffle keyed by stratum.
+  With FEW hot strata at corpus scale that key is skewed; pass
+  ``prefilter=True`` to thin hot strata before the shuffle with a
+  hash-threshold pre-filter derived from real per-stratum counts —
+  rank order IS the hash, so the filter keeps a superset of the winners
+  whenever ≥ k rows survive, which a Chernoff bound makes near-certain
+  (see ``sample_stratified``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hash_rank(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform rank in [0, 2^32) from md5(salt|key).
+
+    Engine-portable: DuckDB gets the identical value via
+    ``('0x' || substr(md5(salt || '|' || CAST(key AS VARCHAR)), 1, 8))::BIGINT``.
+    """
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+
+
+def sample_fraction(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row iff hash_rank(key) < fraction·2^32 — a deterministic
+    Bernoulli(fraction) sample that is reproducible across runs, partition
+    layouts and engines. Pure filter: no shuffle, survives pushdown."""
+    threshold = int(fraction * 4294967296.0)
+    return df.where(hash_rank(F.col(key_col), salt) < F.lit(threshold))
+
+
+def sample_stratified(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    *,
+    prefilter: bool = False,
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller): the rows with the ``n`` smallest hash ranks, ties broken by
+    key. Adds ``sample_rank`` (1-based position within the stratum).
+
+    ``prefilter=True`` thins hot strata before the rank shuffle: a first
+    pass counts rows per stratum (map-side-combinable agg; the result is
+    #strata rows, broadcast back), then strata with count > 8n drop rows
+    with hash_rank ≥ 2^32·8n/count. The cut keeps a superset of the
+    winners whenever ≥ n rows survive it; survivors per hot stratum are
+    Binomial(count, 8n/count) with mean 8n, so the chance of < n
+    survivors is Chernoff-bounded by e^{-3n} — negligible for any real
+    cap, and strata at or below 8n are never filtered at all. Turns the
+    skewed-stratum shuffle from O(stratum) into O(n) expected rows."""
+    ranked = df.withColumn("_hr", hash_rank(F.col(key_col), salt))
+    if prefilter:
+        counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_cnt"))
+        cut = F.when(
+            F.col("_cnt") > 8 * n_per_stratum,
+            (F.lit(4294967296.0) * 8 * n_per_stratum / F.col("_cnt")).cast(
+                "long"
+            ),
+        ).otherwise(F.lit(1 << 32))
+        ranked = (
+            ranked.join(F.broadcast(counts), stratum_col)
+            .where(F.col("_hr") < cut)
+            .drop("_cnt")
+        )
+    w = Window.partitionBy(stratum_col).orderBy("_hr", key_col)
+    return (
+        ranked.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_stratum)
+        .drop("_hr")
+    )

@@ -1,0 +1,181 @@
+"""Connected-components dedup clustering + deterministic sampling tests.
+
+Cluster oracle = a plain Python union-find over the same edge list; sampling
+oracle = recomputing the md5 rank in Python. Both operators must be invariant
+to input partitioning (the class of batch-edge bug the reference's chunked
+loops had, SURVEY §5.5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavalidation_spark.operators.clusters import (
+    connected_components,
+    dedup_cluster_assignments,
+)
+from datavalidation_spark.operators.sampling import (
+    sample_fraction,
+    sample_stratified,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def _cc_spark(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["id"]: r["rep"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_cc_two_components_and_chain(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21)]
+    got = _cc_spark(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_cc_long_path_converges_logarithmically(spark):
+    # a 64-node path is the adversarial case for naive min-propagation
+    # (O(n) rounds); alternating star must close it in O(log^2 n) << 25
+    edges = [(i, i + 1) for i in range(64)]
+    got = _cc_spark(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 65
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40 + 20 * trial)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        expect = _union_find(edges)
+        got = _cc_spark(spark, edges)
+        assert got == expect
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_string_ids(spark):
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {r["id"]: r["rep"] for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_cc_partitioning_invariance(spark):
+    rng = random.Random(13)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {r["id"]: r["rep"] for r in connected_components(df).collect()}
+    b = {
+        r["id"]: r["rep"]
+        for r in connected_components(df.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_cluster_assignments(spark):
+    df = spark.createDataFrame(
+        [(5, 6), (6, 7), (1, 2)], "id_a long, id_b long"
+    )
+    rows = {
+        r["id"]: r for r in dedup_cluster_assignments(df).collect()
+    }
+    assert rows[5]["rep"] == 5 and rows[5]["is_keeper"]
+    assert rows[6]["rep"] == 5 and not rows[6]["is_keeper"]
+    assert rows[7]["cluster_size"] == 3
+    assert rows[1]["cluster_size"] == 2 and rows[2]["rep"] == 1
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def _py_rank(key, salt=""):
+    return int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:8], 16)
+
+
+def test_sample_fraction_matches_python_oracle(spark, sf001):
+    docs = sf001["documents"]
+    got = {
+        r["doc_id"] for r in sample_fraction(docs, 0.25, salt="s").collect()
+    }
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    expect = {
+        i for i in ids if _py_rank(i, "s") < int(0.25 * 4294967296)
+    }
+    assert got == expect
+    # deterministic wrt partitioning
+    got2 = {
+        r["doc_id"]
+        for r in sample_fraction(docs.repartition(11), 0.25, salt="s").collect()
+    }
+    assert got2 == got
+
+
+def test_sample_stratified_exact_k_and_determinism(spark, sf001):
+    docs = sf001["documents"]
+    out = sample_stratified(docs, "lang", 5, salt="x").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    counts = docs.groupBy("lang").count().collect()
+    for row in counts:
+        assert len(by_lang.get(row["lang"], [])) == min(5, row["count"])
+    # the winners are exactly the k smallest hash ranks per stratum
+    ids = docs.select("doc_id", "lang").collect()
+    for lang, rows in by_lang.items():
+        stratum = sorted(
+            (_py_rank(r["doc_id"], "x"), r["doc_id"])
+            for r in ids
+            if r["lang"] == lang
+        )[:5]
+        assert sorted(r["doc_id"] for r in rows) == sorted(
+            i for _, i in stratum
+        )
+    # partitioning invariance
+    out2 = sample_stratified(docs.repartition(17), "lang", 5, salt="x").collect()
+    assert sorted((r["doc_id"], r["sample_rank"]) for r in out2) == sorted(
+        (r["doc_id"], r["sample_rank"]) for r in out
+    )
+
+
+def test_sample_stratified_prefilter_preserves_winners(spark, sf001):
+    docs = sf001["documents"]
+    plain = sample_stratified(docs, "lang", 3, salt="p").collect()
+    thin = sample_stratified(
+        docs, "lang", 3, salt="p", prefilter=True
+    ).collect()
+    assert sorted((r["doc_id"], r["sample_rank"]) for r in plain) == sorted(
+        (r["doc_id"], r["sample_rank"]) for r in thin
+    )
