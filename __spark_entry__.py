@@ -598,17 +598,24 @@ def q_profile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan — partition digests → per-column applyInPandas merge, broadcast-
     joined to the exact-percentile aggregate, tolerance check as a Column
     expression. No driver-side collect/assembly."""
+    from pyspark import StorageLevel
+
     from datavalidation_spark.operators.tdigest import tdigest_quantile_df
 
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     qs = [0.25, 0.5, 0.75, 0.95]
     li = _t(spark, sf_dir, "lineitem")
-    # the digest stage is CPU-bound Python (one t-digest per partition), so
-    # it DOES want 32-way parallelism — but only the 3 profiled columns ride
-    # the repartition shuffle; the exact-percentile pass below is a pure
-    # partial aggregation and reads the scan directly (no shuffle)
-    est = tdigest_quantile_df(_spread(spark, li.select(*cols)), cols, qs)
-    exact = li.agg(
+    # spread ONCE and persist: both passes (CPU-bound Python digests AND the
+    # exact-percentile gate) want 32-way parallelism — the single-file scan
+    # otherwise runs the exact pass's partial aggregation in ONE task
+    # (measured 3.9 s alone vs <1 s spread). Only the 3 profiled columns
+    # ride the shuffle; blocks are reclaimed by ContextCleaner (same pattern
+    # as the maritime fixture ctx below).
+    spread = _spread(spark, li.select(*cols)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    est = tdigest_quantile_df(spread, cols, qs)
+    exact = spread.agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[
             F.percentile(F.col(c), F.array(*[F.lit(q) for q in qs])).alias(f"{c}__qx")

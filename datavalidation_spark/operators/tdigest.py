@@ -94,6 +94,15 @@ class TDigest:
             * np.arcsin(np.clip(2.0 * q - 1.0, -1.0, 1.0))
         )
 
+    def _k1(self, q: float) -> float:
+        # scalar twin of _k for the merge loop: building a 1-element ndarray
+        # per absorbed point cost ~10us each and dominated digest builds
+        return (
+            self.compression
+            / (2.0 * math.pi)
+            * math.asin(min(max(2.0 * q - 1.0, -1.0), 1.0))
+        )
+
     def _compress(self) -> None:
         if self._buf_m:
             m = np.concatenate([self.means] + self._buf_m)
@@ -107,23 +116,25 @@ class TDigest:
         order = np.argsort(m, kind="mergesort")
         m, w = m[order], w[order]
         total = w.sum()
+        ml = m.tolist()  # plain-float loop: ndarray scalar indexing is ~5x slower
+        wl = w.tolist()
         out_m: list[float] = []
         out_w: list[float] = []
-        cur_m, cur_w = m[0], w[0]
+        cur_m, cur_w = ml[0], wl[0]
         q_left = 0.0  # cumulative weight fraction before the current centroid
-        k_left = float(self._k(np.array([0.0]))[0])
-        for i in range(1, len(m)):
-            q_right = (q_left * total + cur_w + w[i]) / total
-            if float(self._k(np.array([q_right]))[0]) - k_left <= 1.0:
+        k_left = self._k1(0.0)
+        for i in range(1, len(ml)):
+            q_right = (q_left * total + cur_w + wl[i]) / total
+            if self._k1(q_right) - k_left <= 1.0:
                 # absorb: weighted mean update
-                cur_m += (m[i] - cur_m) * (w[i] / (cur_w + w[i]))
-                cur_w += w[i]
+                cur_m += (ml[i] - cur_m) * (wl[i] / (cur_w + wl[i]))
+                cur_w += wl[i]
             else:
                 out_m.append(cur_m)
                 out_w.append(cur_w)
                 q_left += cur_w / total
-                k_left = float(self._k(np.array([q_left]))[0])
-                cur_m, cur_w = m[i], w[i]
+                k_left = self._k1(q_left)
+                cur_m, cur_w = ml[i], wl[i]
         out_m.append(cur_m)
         out_w.append(cur_w)
         self.means = np.asarray(out_m)
