@@ -1094,6 +1094,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli(0.2) corpus sample: keep iff
+    md5-rank(doc_id) < floor(0.2*2^32). A pure codegen filter — no shuffle,
+    no state — so the same rows survive on any partitioning/cluster size;
+    the oracle recomputes the identical hash decision."""
+    from datavalidation_spark.operators.sampling import sample_fraction
+
+    docs = _t(spark, sf_dir, "documents")  # pure filter: no _spread needed
+    return sample_fraction(docs, 0.2, key_col="doc_id", salt="corpus").select(
+        "doc_id", "lang"
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sample: 25 docs per language, winners
     = smallest md5 hash ranks (portable — the oracle recomputes the exact
@@ -1123,6 +1136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "detect_lang": q_detect_lang,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "sample_fraction": q_sample_fraction,
     "sample_stratified": q_sample_stratified,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1727,6 +1741,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.id AS doc_id, r.rep AS rep, s.cluster_size,
                    (r.id = r.rep) AS is_keeper
             FROM rep r JOIN sz s USING (rep)
+        """,
+        "sample_fraction": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('corpus|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  < 858993459
         """,
         "sample_stratified": """
             SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank FROM (
