@@ -285,6 +285,32 @@ def q_detect_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERY = ("spark", "join", "window")
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smooth TF-IDF (operators/tfidf.py).
+
+    Corpus-relevance path a curation pipeline needs beside validation:
+    explode → map-side-combined (doc,term) counts → df via term window →
+    rank window. No vocabulary broadcast, no driver sort."""
+    from datavalidation_spark.operators.tfidf import tfidf_top_terms
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return tfidf_top_terms(docs, k=3)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 (k1=1.2, b=0.75) for a fixed 3-term query.
+
+    Distributed top-k via orderBy+limit (TakeOrderedAndProject), corpus
+    stats (N, avgdl) ride in as a broadcast 1-row aggregate."""
+    from datavalidation_spark.operators.tfidf import bm25_scores
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return bm25_scores(docs, list(_BM25_QUERY), top_n=20)
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard similarity join (unigram shingles — the synthetic corpus
     shares a small vocabulary, so unigram overlap is the discriminating
@@ -1133,6 +1159,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_sketches": q_profile_sketches,
     "profile_tdigest": q_profile_tdigest,
     "text_quality": q_text_quality,
+    "tfidf_topterms": q_tfidf_topterms,
+    "bm25_search": q_bm25_search,
     "detect_lang": q_detect_lang,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -1692,6 +1720,57 @@ def oracle_sql() -> dict[str, str]:
                                       / CAST(len(toks) AS DOUBLE) BETWEEN 2.0 AND 12.0
                                  THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS quality
             FROM t
+        """,
+        "tfidf_topterms": f"""
+            WITH tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+              WHERE length(term) > 0
+              GROUP BY doc_id, term
+            ), stats AS (
+              SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+            ), scored AS (
+              SELECT doc_id, term, tf,
+                     round(tf * (ln((1 + n_docs)
+                         / CAST(1 + count(*) OVER (PARTITION BY term) AS DOUBLE)) + 1.0),
+                         6) AS tfidf
+              FROM tf, stats
+            )
+            SELECT doc_id, term, tf, tfidf,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+        """,
+        "bm25_search": f"""
+            WITH tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+              WHERE length(term) > 0
+              GROUP BY doc_id, term
+            ), dl AS (
+              SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+            ), stats AS (
+              SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), per_doc AS (
+              SELECT t.doc_id,
+                     round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                           * (t.tf * (1.2 + 1))
+                           / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))), 6) AS bm25,
+                     CAST(count(*) AS BIGINT) AS n_matched
+              FROM tf t
+              JOIN dfreq f USING (term)
+              JOIN dl d ON d.doc_id = t.doc_id
+              CROSS JOIN stats s
+              WHERE t.term IN ('spark', 'join', 'window')
+              GROUP BY t.doc_id
+            )
+            SELECT doc_id, bm25, n_matched,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+            FROM per_doc
+            QUALIFY rank <= 20
         """,
         "detect_lang": f"""
             WITH h AS (
