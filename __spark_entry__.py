@@ -311,6 +311,76 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, list(_BM25_QUERY), top_n=20)
 
 
+def q_asof_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/temporal.py) — every event enriched
+    with the latest 'rate mark' (every-50th event, derived identically in
+    both engines) at or before it, per user. Oracle: DuckDB's native
+    ASOF LEFT JOIN — an independent implementation of the same semantics,
+    the strongest oracle shape available for this operator."""
+    from datavalidation_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    marks = ev.where(F.col("event_id") % 50 == 0).select(
+        "user_id", "ts", F.col("value").alias("rate")
+    )
+    return asof_join(ev, marks, "user_id").select(
+        "event_id", "user_id", F.round("rate", 6).alias("rate")
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min gap): per-session integer
+    aggregates only — timestamps stay engine-internal (differences are
+    tz-safe; rendered instants are not, see lag_continuity)."""
+    from datavalidation_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_sec=1800)
+    # epoch seconds from calendar fields (NTZ-safe cross-engine pattern —
+    # unix_micros rejects NTZ and casts drag in session-tz semantics)
+    epoch_s = (
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01"))).cast(
+            "bigint"
+        )
+        * 86400
+        + F.hour("ts") * 3600
+        + F.minute("ts") * 60
+        + F.second("ts")
+    )
+    s = s.withColumn("_es", epoch_s)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        (F.max("_es") - F.min("_es")).cast("bigint").alias("duration_sec"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup (day, event_type) → day → grand total, with
+    grouping_id disambiguating subtotal rows — the 'hypertable rollup'
+    shape, one pass, partial-agg combinable at every level."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return (
+        ev.rollup("day", "event_type")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        # null-free projection: subtotal NULLs break order-insensitive row
+        # sorting (None vs str); gid still tells subtotal from data rows
+        .select(
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "gid",
+            "n",
+            "value_cents",
+        )
+    )
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard similarity join (unigram shingles — the synthetic corpus
     shares a small vocabulary, so unigram overlap is the discriminating
@@ -1161,6 +1231,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "tfidf_topterms": q_tfidf_topterms,
     "bm25_search": q_bm25_search,
+    "asof_join_rates": q_asof_join_rates,
+    "sessionize_events": q_sessionize_events,
+    "events_rollup": q_events_rollup,
     "detect_lang": q_detect_lang,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -1720,6 +1793,61 @@ def oracle_sql() -> dict[str, str]:
                                       / CAST(len(toks) AS DOUBLE) BETWEEN 2.0 AND 12.0
                                  THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS quality
             FROM t
+        """,
+        "asof_join_rates": """
+            WITH marks AS (
+              SELECT user_id, ts, value AS rate
+              FROM events WHERE event_id % 50 = 0
+            )
+            SELECT e.event_id, e.user_id, round(m.rate, 6) AS rate
+            FROM events e
+            ASOF LEFT JOIN marks m
+              ON e.user_id = m.user_id AND e.ts >= m.ts
+        """,
+        "sessionize_events": """
+            WITH flagged AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts, value, event_id,
+                     sum(new_sess) OVER (
+                         PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents,
+                   CAST(max(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 86400
+                            + hour(ts) * 3600 + minute(ts) * 60 + second(ts))
+                        - min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 86400
+                              + hour(ts) * 3600 + minute(ts) * 60 + second(ts))
+                       AS BIGINT) AS duration_sec,
+                   min(event_id) AS first_event_id,
+                   max(event_id) AS last_event_id
+            FROM sess
+            GROUP BY user_id, session_id
+        """,
+        "events_rollup": """
+            WITH r AS (
+              SELECT CAST(ts AS DATE) AS day, event_type,
+                     CAST(GROUPING(CAST(ts AS DATE), event_type) AS INT) AS gid,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                         AS value_cents
+              FROM events
+              GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
+            )
+            SELECT coalesce(CAST(day AS VARCHAR), 'ALL') AS day,
+                   coalesce(event_type, 'ALL') AS event_type,
+                   gid, n, value_cents
+            FROM r
         """,
         "tfidf_topterms": f"""
             WITH tf AS (
