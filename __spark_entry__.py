@@ -357,6 +357,29 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via bucket blocking (every-97th event
+    opens a 2-hour window; events of the same user inside it aggregate).
+    The oracle states the semantics as the plain range-predicate join —
+    the Spark side must reproduce it through the equi-join-on-bucket plan."""
+    from datavalidation_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.make_dt_interval(hours=F.lit(2))).alias("end_ts"),
+    )
+    joined = range_join(
+        ev, iv, "user_id", ts="ts", start="start_ts", end="end_ts"
+    )
+    return joined.groupBy("interval_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity rollup (day, event_type) → day → grand total, with
     grouping_id disambiguating subtotal rows — the 'hypertable rollup'
@@ -1233,6 +1256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "asof_join_rates": q_asof_join_rates,
     "sessionize_events": q_sessionize_events,
+    "range_join_windows": q_range_join_windows,
     "events_rollup": q_events_rollup,
     "detect_lang": q_detect_lang,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1833,6 +1857,22 @@ def oracle_sql() -> dict[str, str]:
                    max(event_id) AS last_event_id
             FROM sess
             GROUP BY user_id, session_id
+        """,
+        "range_join_windows": """
+            WITH iv AS (
+              SELECT event_id AS interval_id, user_id,
+                     ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+              FROM events WHERE event_id % 97 = 0
+            )
+            SELECT i.interval_id, i.user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM events e
+            JOIN iv i
+              ON e.user_id = i.user_id
+             AND e.ts >= i.start_ts AND e.ts < i.end_ts
+            GROUP BY i.interval_id, i.user_id
         """,
         "events_rollup": """
             WITH r AS (

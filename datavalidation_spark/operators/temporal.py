@@ -83,6 +83,57 @@ def asof_join(
     return out.where(F.col("_side") == 1).select(*left.columns, *vals)
 
 
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    *,
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket_width_sec: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: each event row matched to every interval of
+    the same key with ``start <= ts < end``.
+
+    Spark plans ``l.key = r.key AND l.ts BETWEEN r.start AND r.end`` as an
+    equi-join on key with the range as a post-filter — fine until one key
+    holds many intervals; with no equi-key at all it degenerates to
+    BroadcastNestedLoopJoin. The scale path here is bucket blocking: time
+    is cut into ``bucket_width_sec`` buckets, each interval explodes to the
+    buckets it covers, events map to exactly ONE bucket, and the join is a
+    plain equi-join on (key, bucket) + exact range filter. Shuffle volume
+    is rows + intervals×(span/width) — tune ``bucket_width_sec`` to the
+    typical interval span so the explode factor stays O(1). No duplicate
+    elimination is needed: an event's single bucket meets each interval at
+    most once.
+
+    Timestamps may be TIMESTAMP or TIMESTAMP_NTZ; bucket ids derive from
+    calendar fields (whole seconds — monotone, so truncation never loses a
+    containment), not unix_micros, so no tz semantics leak in."""
+
+    def bucket_of(c):
+        epoch_s = (
+            F.datediff(c.cast("date"), F.to_date(F.lit("2000-01-01"))).cast("bigint")
+            * 86400
+            + F.hour(c) * 3600
+            + F.minute(c) * 60
+            + F.second(c)
+        )
+        return F.floor(epoch_s / bucket_width_sec).cast("bigint")
+
+    ev = events.withColumn("_bkt", bucket_of(F.col(ts)))
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(F.sequence(bucket_of(F.col(start)), bucket_of(F.col(end)))),
+    )
+    return (
+        ev.join(iv, [key, "_bkt"])
+        .where((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .drop("_bkt")
+    )
+
+
 def sessionize(
     events: DataFrame,
     key: str = "user_id",

@@ -108,6 +108,49 @@ def test_sessionize_matches_builtin_session_window(spark, sf001):
     assert a == b
 
 
+def test_range_join_hand_checked(spark):
+    events = spark.createDataFrame(
+        [
+            (0, 1, _ts(0)),            # == start -> included
+            (1, 1, _ts(30)),           # inside
+            (2, 1, datetime(2024, 1, 1, 13, 0)),  # == end -> excluded
+            (3, 2, _ts(30)),           # other key -> excluded
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(10, 1, _ts(0), datetime(2024, 1, 1, 13, 0))],
+        "interval_id long, user_id long, start timestamp, end timestamp",
+    )
+    from datavalidation_spark.operators.temporal import range_join
+
+    got = sorted(
+        r.event_id for r in range_join(events, iv, "user_id").collect()
+    )
+    assert got == [0, 1]
+
+
+def test_range_join_matches_theta_join_small_buckets(spark, sf001):
+    """Bucket blocking (forced multi-bucket explode via a 60 s width) must
+    reproduce the plain range-predicate join exactly, duplicates included."""
+    from datavalidation_spark.operators.temporal import range_join
+
+    ev = sf001["events"]
+    iv = ev.where(F.col("event_id") % 31 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.make_dt_interval(mins=F.lit(45))).alias("end"),
+    )
+    fast = range_join(ev, iv, "user_id", bucket_width_sec=60)
+    slow = ev.join(iv, ["user_id"]).where(
+        (F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end"))
+    )
+    a = sorted((r.interval_id, r.event_id) for r in fast.collect())
+    b = sorted((r.interval_id, r.event_id) for r in slow.collect())
+    assert a == b and len(a) > 0
+
+
 def test_session_stats_values(spark):
     rows = [
         (1, _ts(0), 1.25),
