@@ -198,8 +198,36 @@ class ManifestLog:
         # and commit deletion must not duplicate those files' entries into
         # the next checkpoint (ADVICE r3)
         live_commits = [(s, p) for s, p in commits if s > floor]
-        parts = ([base] if base else []) + [p for _, p in live_commits]
-        for path in parts:
+        # per-commit history rides inside the checkpoint so compaction never
+        # destroys snapshot granularity (time travel: read_at/snapshots).
+        # Metadata grows O(total commits) like Iceberg's snapshot log before
+        # expiry — each entry is just the commit's file-path lists.
+        history: dict[str, dict] = {}
+        # lowest seq at which per-commit granularity is complete; raised when
+        # a legacy (pre-history) checkpoint collapses everything below its
+        # floor into one synthetic snapshot
+        history_floor = 0
+        if base:
+            try:
+                base_doc = self._load(base)
+            except ManifestLog._Vanished:
+                return None
+            if base_doc is not None:
+                for name, files in base_doc.get("tables", {}).items():
+                    tables.setdefault(name, []).extend(files)
+                if "history" in base_doc:
+                    history.update(base_doc["history"])
+                    history_floor = base_doc.get("history_floor", 0)
+                else:
+                    # legacy checkpoint without history: granularity below
+                    # its floor is gone — represent its whole fold as one
+                    # synthetic snapshot at the floor seq
+                    history[f"{floor:08d}"] = {
+                        "tables": base_doc.get("tables", {}),
+                        "meta": base_doc.get("meta", {}),
+                    }
+                    history_floor = floor
+        for seq, path in live_commits:
             try:
                 doc = self._load(path)
             except ManifestLog._Vanished:
@@ -212,14 +240,22 @@ class ManifestLog:
                 continue
             for name, files in doc.get("tables", {}).items():
                 tables.setdefault(name, []).extend(files)
+            history[f"{seq:08d}"] = {
+                "tables": doc.get("tables", {}),
+                "meta": doc.get("meta", {}),
+            }
         # belt-and-braces dedupe (first-seen order) so duplicates can never
         # persist and grow through successive folds
         tables = {n: list(dict.fromkeys(fs)) for n, fs in tables.items()}
         # the new checkpoint seq must never regress below the base floor —
         # resurrected stale commits (crashed prior compaction) are <= floor
         top = max([s for s, _ in live_commits] + [floor])
-        data = json.dumps({"tables": tables, "meta": {"checkpoint_of": top}},
-                          sort_keys=True).encode()
+        data = json.dumps(
+            {"tables": tables, "history": history,
+             "history_floor": history_floor,
+             "meta": {"checkpoint_of": top}},
+            sort_keys=True,
+        ).encode()
         tmp = os.path.join(self.commits_dir, f"_tmp-{uuid.uuid4().hex}")
         with open(tmp, "wb") as f:
             f.write(data)
@@ -298,6 +334,103 @@ class ManifestLog:
         """All committed rows of a logical table; None before first commit.
         Uncommitted staged/renamed-but-unpublished files are never read."""
         files = self.committed_files(name)
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+
+    # -- time travel ------------------------------------------------------
+
+    def snapshots(self) -> list[tuple[int, dict]]:
+        """(seq, meta) of every known commit, oldest first — from live
+        commit files and from the history section compaction folds into
+        checkpoints. A legacy (pre-history) checkpoint contributes one
+        synthetic snapshot at its floor seq."""
+        for _ in range(8):
+            try:
+                return self._snapshots_once()
+            except ManifestLog._Vanished:
+                continue
+        raise RuntimeError("manifest listing kept changing under the reader")
+
+    def _snapshots_once(self) -> list[tuple[int, dict]]:
+        ckpts = self._checkpoints()
+        entries: dict[int, dict] = {}
+        head_before = ckpts[-1][0] if ckpts else 0
+        if ckpts:
+            doc = self._load(ckpts[-1][1])
+            if doc is not None:
+                hist = doc.get("history")
+                if hist is None:
+                    hist = {f"{head_before:08d}": {"meta": doc.get("meta", {})}}
+                for s, entry in hist.items():
+                    entries[int(s)] = entry.get("meta", {})
+        for seq, path in self._commit_seqs():
+            if seq in entries:
+                continue
+            doc = self._load(path)
+            if doc is not None:
+                entries[seq] = doc.get("meta", {})
+        ckpts_after = self._checkpoints()
+        if (ckpts_after[-1][0] if ckpts_after else 0) != head_before:
+            raise ManifestLog._Vanished("checkpoint head moved during read")
+        return sorted(entries.items())
+
+    def committed_files_at(self, name: str, seq: int) -> list[str]:
+        """The table's data files as of commit ``seq`` (inclusive) — the
+        append-only union of every commit up to it. Raises ValueError when
+        ``seq`` predates the oldest reconstructable snapshot (history lost
+        by a legacy checkpoint)."""
+        for _ in range(8):
+            try:
+                return self._committed_files_at_once(name, seq)
+            except ManifestLog._Vanished:
+                continue
+        raise RuntimeError("manifest listing kept changing under the reader")
+
+    def _committed_files_at_once(self, name: str, seq: int) -> list[str]:
+        ckpts = self._checkpoints()
+        head_before = ckpts[-1][0] if ckpts else 0
+        out: list[str] = []
+        if ckpts:
+            floor, base = ckpts[-1]
+            doc = self._load(base)
+            if doc is not None:
+                hist = doc.get("history")
+                if hist is None:
+                    if seq < floor:
+                        raise ValueError(
+                            f"snapshot {seq} predates the oldest "
+                            f"reconstructable state (legacy checkpoint "
+                            f"floor {floor})"
+                        )
+                    out.extend(doc.get("tables", {}).get(name, []))
+                else:
+                    hf = doc.get("history_floor", 0)
+                    if seq < hf and seq > 0:
+                        raise ValueError(
+                            f"snapshot {seq} predates the oldest "
+                            f"reconstructable state (history floor {hf})"
+                        )
+                    for s in sorted(hist):
+                        if int(s) <= seq:
+                            out.extend(
+                                hist[s].get("tables", {}).get(name, [])
+                            )
+        for s, path in self._commit_seqs():
+            if s > seq:
+                continue
+            doc = self._load(path)
+            if doc is not None:
+                out.extend(doc.get("tables", {}).get(name, []))
+        ckpts_after = self._checkpoints()
+        if (ckpts_after[-1][0] if ckpts_after else 0) != head_before:
+            raise ManifestLog._Vanished("checkpoint head moved during read")
+        out = list(dict.fromkeys(out))
+        return [p for p in out if os.path.exists(p)]
+
+    def read_at(self, spark: SparkSession, name: str, seq: int) -> DataFrame | None:
+        """Time-travel read: the table exactly as of commit ``seq``."""
+        files = self.committed_files_at(name, seq)
         if not files:
             return None
         return spark.read.parquet(*files)
