@@ -311,6 +311,41 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, list(_BM25_QUERY), top_n=20)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/cms.py) via the sketch
+    accuracy-gate pattern (td_ok/hll_ok): the exact top-20 token counts are
+    driver-facing scalars the DuckDB oracle recomputes, and the CMS point
+    estimates must satisfy the structural no-underestimate guarantee plus
+    the eps*N overestimate bound (eps = e/width) — booleans the oracle
+    asserts TRUE. CMS internals (xxhash64 cells) are deliberately not
+    transcribed; a broken sketch breaks the bounds and flips the row red."""
+    from datavalidation_spark.operators.cms import cms_build, cms_estimate
+    from datavalidation_spark.operators.text import tokens
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term")).where(
+        F.length("term") > 0
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(20)
+    sketch = cms_build(toks, "term", depth=4, width=2048)
+    est = cms_estimate(sketch, top.select("term"), "term", depth=4, width=2048)
+    total = exact.agg(F.sum("exact_cnt").alias("n_total"))
+    bound = F.ceil(F.lit(2.718281828) * F.col("n_total") / 2048)
+    return (
+        top.join(est, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "exact_cnt",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("no_underestimate"),
+            ((F.col("cms_est") - F.col("exact_cnt")) <= bound).alias(
+                "within_bound"
+            ),
+        )
+    )
+
+
 def q_asof_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operators/temporal.py) — every event enriched
     with the latest 'rate mark' (every-50th event, derived identically in
@@ -1254,6 +1289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "tfidf_topterms": q_tfidf_topterms,
     "bm25_search": q_bm25_search,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "asof_join_rates": q_asof_join_rates,
     "sessionize_events": q_sessionize_events,
     "range_join_windows": q_range_join_windows,
@@ -1817,6 +1853,20 @@ def oracle_sql() -> dict[str, str]:
                                       / CAST(len(toks) AS DOUBLE) BETWEEN 2.0 AND 12.0
                                  THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS quality
             FROM t
+        """,
+        "cms_heavy_hitters": f"""
+            WITH toks AS (
+              SELECT unnest({_TOKS}) AS term FROM documents
+            ), cnt AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+              FROM toks WHERE length(term) > 0
+              GROUP BY term
+            )
+            SELECT term, exact_cnt,
+                   TRUE AS no_underestimate, TRUE AS within_bound
+            FROM cnt
+            ORDER BY exact_cnt DESC, term ASC
+            LIMIT 20
         """,
         "asof_join_rates": """
             WITH marks AS (
