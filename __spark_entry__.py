@@ -667,8 +667,14 @@ def q_advanced_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wn = Window.partitionBy("user_id")
+    # user-specified hash spread on the window key: the single-file scan is
+    # one task, and the window's own ENSURE_REQUIREMENTS exchange is
+    # AQE-coalescible (few MB → 1 task).  This exchange satisfies the
+    # window's required distribution (no second shuffle) and, being
+    # user-specified, is never coalesced — so window eval stays 32-way.
     planted = (
         ev.select("user_id", "event_id", "ts")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
         .withColumn("rn", F.row_number().over(w) - 1)
         .withColumn("n", F.count(F.lit(1)).over(wn))
         .withColumn(
@@ -1273,6 +1279,82 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "sample_rank")
 
 
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture downsampling (the pretraining domain-mix operation):
+    rebalance the corpus to lang shares en .5 / es .2 / fr .2 / de .1 (zh
+    has zero weight → dropped), never upsampling — the binding stratum
+    keeps everything, the rest keep a deterministic md5-threshold fraction.
+    Fully declarative (tiny count agg → scalar binding ratio → broadcast
+    keep-plan join); the oracle recomputes the identical IEEE keep-fraction
+    expression and hash decisions."""
+    from datavalidation_spark.operators.sampling import sample_mixture
+
+    docs = _t(spark, sf_dir, "documents")  # filter-only: no _spread needed
+    return sample_mixture(
+        docs,
+        "lang",
+        {"en": 0.5, "es": 0.2, "fr": 0.2, "de": 0.1},
+        key_col="doc_id",
+        salt="mix",
+    ).select("doc_id", "lang")
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (pure-codegen regexp_count/replace chain,
+    no UDF): the fixture plants one email / SSN / phone / IPv4 per document
+    (plus a second email for doc_id % 3 = 0) from doc_id arithmetic, so
+    both engines build byte-identical text; counts and the md5 of the
+    redacted string must then agree exactly. Patterns are written in the
+    Java-regex ∩ RE2 common subset — see operators/pii.py."""
+    from datavalidation_spark.operators.pii import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com said "),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@example.org"))
+            .otherwise(F.lit("")),
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("text"),
+    )
+    c = pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id",
+        c["email"].alias("n_email"),
+        c["ssn"].alias("n_ssn"),
+        c["phone"].alias("n_phone"),
+        c["ipv4"].alias("n_ipv4"),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap): docs with
+    doc_id % 50 = 0 act as the held-out eval set; every other document is
+    flagged if it shares any word 4-gram with them (n=4 because the
+    synthetic vocabulary is tiny — production default is 8-13). Benchmark
+    grams broadcast; only hit rows ever shuffle."""
+    from datavalidation_spark.operators.decontam import decontaminate
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, n=4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maritime_catalog": q_maritime_catalog,
     "maritime_distance": q_maritime_distance,
@@ -1299,6 +1381,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "sample_fraction": q_sample_fraction,
     "sample_stratified": q_sample_stratified,
+    "sample_mixture": q_sample_mixture,
+    "pii_redact": q_pii_redact,
+    "decontaminate": q_decontaminate,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1759,6 +1844,40 @@ def _span_rules_oracle_sql() -> str:
     """
 
 
+def _pii_oracle_sql() -> str:
+    """PII oracle built FROM ``PII_PATTERNS`` itself — the detection
+    patterns and redaction order in the SQL can never drift from the Spark
+    operator. Counts via len(regexp_extract_all), redaction via chained
+    regexp_replace(..., 'g'); the planted text mirrors q_pii_redact's
+    concat byte-for-byte."""
+    from datavalidation_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    red = "t"
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+            WITH planted AS (
+              SELECT doc_id,
+                'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com said '
+                || text
+                || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END
+                || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST(doc_id % 100 AS VARCHAR) AS t
+              FROM documents)
+            SELECT doc_id,
+                   {counts},
+                   md5({red}) AS redacted_md5
+            FROM planted
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maritime_catalog": _maritime_oracle_sql(),
@@ -2055,6 +2174,50 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM documents
             ) WHERE rn <= 25
+        """,
+        # Target-mixture downsampling: identical IEEE keep-fraction
+        # expression order ((m * t) / c, least(1.0, ·)) and the same md5
+        # threshold decision as operators/sampling.py::sample_mixture.
+        "sample_mixture": """
+            WITH tgt(lang, t) AS (VALUES
+              ('de', 0.1::DOUBLE), ('en', 0.5::DOUBLE),
+              ('es', 0.2::DOUBLE), ('fr', 0.2::DOUBLE)),
+            cnt AS (
+              SELECT d.lang, t, count(*) AS c
+              FROM documents d JOIN tgt USING (lang) GROUP BY 1, 2
+            ),
+            nout AS (SELECT min(c / t) AS m FROM cnt),
+            plan AS (
+              SELECT lang, least(CAST(1.0 AS DOUBLE), m * t / c) AS keep
+              FROM cnt CROSS JOIN nout
+            )
+            SELECT doc_id, d.lang FROM documents d JOIN plan USING (lang)
+            WHERE ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  < floor(keep * 4294967296.0)
+        """,
+        "pii_redact": _pii_oracle_sql(),
+        # Decontamination: word 4-grams via the shared _TOKS tokenizer;
+        # DuckDB list slices are 1-based end-inclusive, so t[i:i+3] is the
+        # 4-gram at i and range(1, len-2) enumerates every start (empty for
+        # short docs, matching the Spark-side sequence guard).
+        "decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(t) - 2),
+                                   i -> array_to_string(t[i:i+3], ' '))) AS gs
+              FROM toks
+            ),
+            bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams
+                      WHERE doc_id % 50 = 0),
+            train AS (SELECT doc_id, unnest(gs) AS g FROM grams
+                      WHERE doc_id % 50 <> 0),
+            hits AS (SELECT doc_id, count(*) AS n_hits FROM train
+                     JOIN bench USING (g) GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                   h.doc_id IS NOT NULL AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         # Corpus curation: language/length/quality/repetition gates + exact-
         # dup drop, transcribed from the same expressions the text_quality /

@@ -623,7 +623,16 @@ def changepoints_per_group(
         yield pd.DataFrame(rows, columns=["group_key", "n", "breakpoints"])
 
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartition(n, group_col).sortWithinPartitions(
+    # Repartition on (group, lit(0)), not (group): when the input is already
+    # hash-partitioned on the group key (e.g. it came out of a window over
+    # the same key), Catalyst ELIDES a plain repartition(n, group) as
+    # redundant — leaving only the upstream ENSURE_REQUIREMENTS exchange,
+    # which AQE's size-based coalescing happily folds to 1 task, serializing
+    # this CPU-bound stage (measured: all 1,500 sf0.1 groups in one task,
+    # 5 s of serial PELT). The extra literal key makes the partitioning
+    # expression distinct (so the user-specified, never-coalesced exchange
+    # survives) while still co-locating every row of a group.
+    part = df.repartition(n, F.col(group_col), F.lit(0)).sortWithinPartitions(
         group_col, *order_cols
     )
     return part.select(group_col, *order_cols, value_col).mapInPandas(

@@ -101,3 +101,60 @@ def sample_stratified(
         .where(F.col("sample_rank") <= n_per_stratum)
         .drop("_hr")
     )
+
+
+def sample_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    targets: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Downsample to a target mixture: ``targets`` maps stratum value →
+    desired share of the OUTPUT corpus (domain/language rebalancing — the
+    standard pretraining-mix operation). Never upsamples: the achievable
+    output size is N_out = min_s(count_s / target_s); each stratum keeps
+    the deterministic hash-fraction ``N_out · target_s / count_s`` of its
+    rows (the binding stratum keeps everything). Strata absent from
+    ``targets`` are dropped — they have zero weight in the mix.
+
+    Fully declarative, no driver collect: the per-stratum counts are a
+    map-side-combinable agg producing #strata rows; the binding ratio is a
+    scalar agg over that; both broadcast back onto the corpus as join-free
+    literals via a tiny cross/broadcast join, and the keep decision is the
+    same portable md5 threshold as ``sample_fraction`` — identical rows
+    survive on any partitioning, any cluster size, any engine. The keep
+    fraction is computed with a fixed IEEE expression order
+    (``least(1.0, (min_ratio * target) / count)``) so the DuckDB oracle
+    reproduces the exact threshold bit-for-bit.
+    """
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())],
+        f"{stratum_col} string, _tgt double",
+    )
+    counts = (
+        df.join(F.broadcast(tgt), stratum_col)
+        .groupBy(stratum_col, "_tgt")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    binding = counts.agg(
+        F.min(F.col("_cnt") / F.col("_tgt")).alias("_nout")
+    )
+    plan = (
+        counts.crossJoin(F.broadcast(binding))
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0), F.col("_nout") * F.col("_tgt") / F.col("_cnt")
+            ).alias("_keep"),
+        )
+    )
+    return (
+        df.join(F.broadcast(plan), stratum_col)
+        .where(
+            hash_rank(F.col(key_col), salt)
+            < F.floor(F.col("_keep") * F.lit(4294967296.0))
+        )
+        .drop("_keep")
+    )
