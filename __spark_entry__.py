@@ -440,13 +440,16 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard similarity join (unigram shingles — the synthetic corpus
-    shares a small vocabulary, so unigram overlap is the discriminating
-    signal; 3-gram variant covered in tests with planted dups)."""
+    """n-gram Jaccard similarity join (word 3-gram shingles). Formerly
+    unigram: with the synthetic corpus's tiny vocabulary every unigram's
+    doc-frequency exceeds the 1000 cap at sf0.1, so the index went EMPTY
+    and the bench row measured an empty plan. 3-grams keep doc frequency
+    far under the cap at every SF (max df 7 at sf0.01, 25 at sf0.1) and
+    make the pair graph scale with the corpus (25 → 256 pairs)."""
     from datavalidation_spark.operators.dedup import jaccard_pairs
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    return jaccard_pairs(docs, shingle_n=1, threshold=0.8, max_doc_freq=1000)
+    return jaccard_pairs(docs, shingle_n=3, threshold=0.8, max_doc_freq=1000)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1248,7 +1251,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datavalidation_spark.operators.dedup import jaccard_pairs
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    pairs = jaccard_pairs(docs, shingle_n=1, threshold=0.8, max_doc_freq=1000)
+    pairs = jaccard_pairs(docs, shingle_n=3, threshold=0.8, max_doc_freq=1000)
     return dedup_cluster_assignments(pairs).select(
         F.col("id").alias("doc_id"), "rep", "cluster_size", "is_keeper"
     )
@@ -1454,9 +1457,12 @@ _HITS_SQL = {
 # builds connected components over the same edge set. Mirrors
 # operators/dedup.py::jaccard_pairs at shingle_n=1, threshold=0.8,
 # max_doc_freq=1000 — the parameters q_dedup_jaccard / q_dedup_clusters use.
-_JACCARD_CTES_SQL = f"""toks AS (
-              SELECT doc_id AS id, unnest(list_distinct({_TOKS})) AS shingle
-              FROM documents
+_JACCARD_CTES_SQL = f"""toksr AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            toks AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                            i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+              FROM toksr
             ),
             sizes AS (SELECT id, count(*) AS n_sh FROM toks GROUP BY id),
             freq AS (SELECT shingle, count(*) AS df FROM toks GROUP BY shingle),

@@ -93,16 +93,24 @@ def connected_components(
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
     )
+    e = edges0.localCheckpoint(eager=True)
+    # nodes MUST derive from the checkpointed edge set: deriving it from
+    # the raw edges0 plan would re-execute the entire upstream pair
+    # pipeline (e.g. the full jaccard similarity join) a second time when
+    # the final labels job runs — measured as half the query cost.
     nodes = (
-        edges0.select(F.col("u").alias("id"))
-        .union(edges0.select(F.col("v").alias("id")))
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
         .distinct()
     )
-    e = edges0.localCheckpoint(eager=True)
     prev: tuple | None = None
     converged = False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence checksum below is the action that
+        # materializes it, so each round costs ONE Spark action, not two —
+        # at contract scale the rounds are scheduling-bound and this halves
+        # the per-round overhead; at real scale it skips nothing.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # order-insensitive checksum; sum in decimal(38,0) — full-range
         # xxhash64 longs overflow an ANSI bigint sum after ~2 edges
         chk = tuple(
