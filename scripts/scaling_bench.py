@@ -36,6 +36,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANUAL_MARK = "<!-- MANUAL NOTES (preserved by scaling_bench.py) -->"
 
 GEN = r"""
 import sys
@@ -328,7 +329,17 @@ def main() -> None:
     else:
         tt_para = "no instrumented invocations recorded at both levels yet."
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # hand-written notes below the marker survive regeneration
+    report_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    manual_tail = ""
+    try:
+        with open(report_path) as f:
+            old = f.read()
+        if MANUAL_MARK in old:
+            manual_tail = MANUAL_MARK + old.split(MANUAL_MARK, 1)[1]
+    except FileNotFoundError:
+        pass
+    with open(report_path, "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling-efficiency evidence
 
 **Target** (BASELINE.json north_rule): throughput scaling efficiency ≥ 0.8
@@ -418,7 +429,9 @@ Reproduce (exclusively): `python scripts/scaling_bench.py {n_docs}`
 
 Headline throughput metric (driver-recorded per round): `python bench.py`
 → validated docs/sec at sf0.1 plus per-query timings (BENCH_r*.json).
+
 """)
+        f.write(manual_tail)
 
 
 if __name__ == "__main__":
