@@ -22,7 +22,8 @@ import uuid
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="Validate an interleaved-document table")
-    p.add_argument("--input", required=True, help="documents parquet/iceberg path")
+    p.add_argument("--input", default=None, help="documents parquet/iceberg path "
+                   "(required unless --synth-docs is given)")
     p.add_argument("--catalog", default=None, help="asset catalog path (referential check)")
     p.add_argument("--audit", required=True, help="audit table directory")
     p.add_argument("--run-id", default=None)
@@ -35,6 +36,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="generate N synthetic docs instead of reading --input (demo/bench)")
     p.add_argument("--synth-dirty", action="store_true")
     args = p.parse_args(argv)
+    if not args.input and not args.synth_docs:
+        p.error("either --input or --synth-docs is required")
 
     from pyspark.sql import SparkSession
 
