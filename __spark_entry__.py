@@ -1044,11 +1044,19 @@ def q_maritime_fuel_rob(spark: SparkSession, sf_dir: str) -> DataFrame:
         fuel_rob_rules,
     )
 
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("event_id")
+    # Both windows (row_number here, the six lags inside fuel_rob_context)
+    # key on the SAME column with the SAME ordering, so Catalyst plans one
+    # exchange + one sort feeding two adjacent Window nodes. The shuffle is
+    # user-specified (repartition(N, key)) so AQE can't coalesce the
+    # expression-heavy windowed stage to one task (tiny 2-long shuffle bytes).
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("VESSEL_NAME"), "event_id"
+    )
+    ev = ev.repartition(spark.sparkContext.defaultParallelism, "VESSEL_NAME")
+    w = Window.partitionBy("VESSEL_NAME").orderBy("event_id")
     base = ev.withColumn("rn", F.row_number().over(w))
     cols = [
-        F.col("user_id").cast("string").alias("VESSEL_NAME"),
+        "VESSEL_NAME",
         F.col("event_id").alias("REPORT_DATE"),
     ]
     for fi, fuel in enumerate(FUEL_TYPES):
