@@ -996,6 +996,10 @@ def q_maritime_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("REPORT_DATE"),
         *[F.expr(sql).alias(name) for name, sql in _DISTANCE_CTX_COLS],
     )
+    # user-specified shuffle on the lag-window key: satisfies the window's
+    # distribution (no second exchange) and keeps the trig-heavy post-window
+    # stage at full parallelism (ENSURE_REQUIREMENTS would AQE-coalesce it)
+    logs = logs.repartition(spark.sparkContext.defaultParallelism, "VESSEL_NAME")
     ctx = distance_context(logs).withColumn(
         "calc_distance", F.round("calc_distance", 6)
     )
@@ -1125,7 +1129,9 @@ def q_span_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialization. fired_csv is the alphabetically-sorted rule-id list."""
     from datavalidation_spark.engine.spans import span_fingerprint, span_rules
 
-    ev = _t(spark, sf_dir, "events")
+    # pure map pipeline (derive array → HOF rules → md5): no shuffle anywhere,
+    # so the single-file scan would serialize the whole query in one task
+    ev = _spread(spark, _t(spark, sf_dir, "events"))
     docs = ev.select(
         F.col("event_id").alias("doc_key"),
         F.expr(_spark_spans_sql()).alias("spans"),

@@ -383,6 +383,11 @@ def simhash_pairs(
     sig = simhash_signatures(
         df.where(F.size(tokens(F.col(text_col))) > 0), text_col, id_col
     )
+    # The self-join below would otherwise recompute the whole signature
+    # pipeline (token hashing + 64 bit-vote sums) once PER SIDE — broadcast
+    # of the build side defeats exchange reuse. Materialize once: (id,
+    # simhash) is 16 bytes/row, cheap to hold even at full corpus scale.
+    sig = sig.localCheckpoint(eager=False)
     width = 64 // n_blocks
     blocked = sig.select(
         "id",
@@ -411,8 +416,11 @@ def simhash_pairs(
             F.col("b.id").alias("id_b"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # verify BEFORE the pair-dedup shuffle: hamming is deterministic per
+        # (id_a, id_b), so filtering first is equivalent and the exchange
+        # carries only verified pairs instead of every block collision
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
