@@ -18,6 +18,8 @@ rows). Two implementations with identical semantics:
 
 from __future__ import annotations
 
+import weakref
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -75,8 +77,31 @@ def mutex_broken(spans: Column) -> Column:
     )
 
 
-def span_rules(spans_col: str = "spans") -> list[Rule]:
+# Column objects are immutable logical-plan fragments bound to a gateway, so
+# the catalog for a given column NAME can be built once per SparkSession and
+# reused across calls — construction is ~1k py4j round-trips (~0.25 s), paid
+# on every validate_documents() otherwise. Weak-keyed on the live session so
+# a fresh session (tests, driver restarts) never sees another JVM's columns
+# and entries die with the session they belong to.
+_RULES_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def span_rules(spans_col: str | Column = "spans") -> list[Rule]:
     """The span-rule catalog, HOF implementation — plug into the compiler."""
+    if isinstance(spans_col, str):
+        from pyspark.sql import SparkSession
+
+        session = SparkSession.getActiveSession()
+        if session is None:
+            return _build_span_rules(spans_col)
+        per_session = _RULES_CACHE.setdefault(session, {})
+        if spans_col not in per_session:
+            per_session[spans_col] = _build_span_rules(spans_col)
+        return list(per_session[spans_col])
+    return _build_span_rules(spans_col)
+
+
+def _build_span_rules(spans_col: str | Column) -> list[Rule]:
     s = _spans(spans_col)
     return [
         Rule(
