@@ -1372,6 +1372,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, n=4)
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: the excisable token RANGES, not just the
+    per-doc verdict — maximal runs of positions covered by benchmark-matching
+    word 4-grams, merged with the gaps-and-islands break-flag + running sum.
+    Fully relational (posexplode + broadcast join + one tiny hit-set window),
+    so the oracle transcribes it exactly: positions via parallel unnest,
+    islands via the same lag/sum window in SQL."""
+    from datavalidation_spark.operators.decontam import contaminated_spans
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return contaminated_spans(train, bench, n=4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maritime_catalog": q_maritime_catalog,
     "maritime_distance": q_maritime_distance,
@@ -1401,6 +1416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_mixture": q_sample_mixture,
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
+    "decontaminate_spans": q_decontaminate_spans,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "embedding_near_dup": q_embedding_near_dup,
@@ -2238,6 +2254,40 @@ def oracle_sql() -> dict[str, str]:
                    h.doc_id IS NOT NULL AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
             LEFT JOIN hits h USING (doc_id)
+        """,
+        # Span-level decontamination: positions via parallel unnest (gram
+        # list and 1..len range unnest in lockstep), islands via the same
+        # lag/running-sum window the Spark side plans. n=4: break when
+        # s - prev_s > 4; covered interval end = s + 3.
+        "decontaminate_spans": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            gramseq AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 4
+                          THEN list_transform(range(1, len(t) - 2),
+                                              i -> array_to_string(t[i:i+3], ' '))
+                          ELSE [] END AS gs
+              FROM toks
+            ),
+            bench AS (SELECT DISTINCT unnest(gs) AS g FROM gramseq
+                      WHERE doc_id % 50 = 0),
+            pos AS (SELECT doc_id, unnest(gs) AS g,
+                           unnest(range(1, len(gs) + 1)) AS s
+                    FROM gramseq WHERE doc_id % 50 <> 0),
+            hits AS (SELECT doc_id, s FROM pos JOIN bench USING (g)),
+            brk AS (SELECT doc_id, s,
+                           CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) > 4
+                                THEN 1 ELSE 0 END AS b
+                    FROM hits),
+            isl AS (SELECT doc_id, s,
+                           sum(b) OVER (PARTITION BY doc_id ORDER BY s
+                                        ROWS UNBOUNDED PRECEDING) AS island
+                    FROM brk)
+            SELECT doc_id,
+                   min(s) AS span_start,
+                   max(s) + 3 AS span_end,
+                   max(s) + 3 - min(s) + 1 AS span_len
+            FROM isl GROUP BY doc_id, island
         """,
         # Corpus curation: language/length/quality/repetition gates + exact-
         # dup drop, transcribed from the same expressions the text_quality /

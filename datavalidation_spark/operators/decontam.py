@@ -25,7 +25,7 @@ family and the DuckDB oracle transcription.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datavalidation_spark.operators.text import tokens
@@ -83,4 +83,79 @@ def decontaminate(
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             F.col("n_hits").isNotNull().alias("contaminated"),
         )
+    )
+
+
+def word_ngrams_seq(text: Column, n: int) -> Column:
+    """All word n-grams of ``text`` in POSITION ORDER (not deduplicated):
+    element i (0-based) is the gram starting at token i+1. Companion of
+    :func:`word_ngrams` for span-level work, same tokenizer."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Excisable contaminated TOKEN RANGES per document (span-level
+    decontamination): a token position is contaminated when any word
+    n-gram covering it also occurs in ``benchmark``; maximal contiguous
+    contaminated regions are returned as (id, span_start, span_end,
+    span_len), 1-based inclusive token offsets. Production pipelines excise
+    these ranges instead of dropping whole documents.
+
+    Scale shape: benchmark grams broadcast (map-side join, no text
+    shuffle); only HIT positions — rare by construction — reach the
+    per-document island window, so the one shuffle is over the tiny hit
+    set. Island merge: hits at starts s1 < s2 cover overlapping/adjacent
+    token intervals iff s2 <= s1 + n, the classic gaps-and-islands
+    break-flag + running-sum (same pattern as sessionize_events).
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams_seq(F.col(text_col), n)).alias("_p", "gram"),
+    )
+    hits = doc_grams.join(F.broadcast(bench_grams), "gram").select(
+        id_col, (F.col("_p") + 1).cast("long").alias("s")
+    )
+    w = Window.partitionBy(id_col).orderBy("s")
+    # first row of a doc: lag is NULL -> otherwise(0); the running sum then
+    # starts that doc's island ids at 0, which grouping is indifferent to
+    brk = F.when(
+        F.col("s") - F.lag("s").over(w) > n, F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = (
+        hits.withColumn(
+            "_isl",
+            F.sum(brk).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("s").alias("span_start"),
+            (F.max("s") + n - 1).alias("span_end"),
+        )
+    )
+    return islands.select(
+        id_col,
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
     )

@@ -188,3 +188,56 @@ def test_hash_rank_matches_python(spark):
     }
     for k in range(50):
         assert got[k] == _py_hash_rank(k, "salt")
+
+
+def test_contaminated_spans_islands(spark):
+    """Span-level decontamination: overlapping hit grams merge into one
+    range, disjoint hits stay separate, and offsets are exact (1-based
+    inclusive token positions) vs a hand-computed expectation."""
+    from datavalidation_spark.operators.decontam import contaminated_spans
+
+    bench = spark.createDataFrame(
+        [(100, "aa bb cc dd"), (101, "bb cc dd ee"), (102, "xx yy zz ww")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # tokens:       1  2  3  4  5  6  7  8  9 10 11 12 13
+            (1, "aa bb cc dd ee q1 q2 q3 q4 xx yy zz ww"),
+            #   hits at s=1 ("aa bb cc dd") and s=2 ("bb cc dd ee")
+            #   -> merged island covering tokens 1..5;
+            #   hit at s=10 ("xx yy zz ww") -> separate island 10..13
+            (2, "no contamination in this document at all today friends"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["span_len"])
+        for r in contaminated_spans(train, bench, n=4).collect()
+    }
+    assert rows == {(1, 1): (5, 5), (1, 10): (13, 4)}
+
+
+def test_contaminated_spans_adjacent_merge_boundary(spark):
+    """Two hits exactly n apart touch (prev covers s..s+n-1, next starts at
+    s+n) -> one island; n+1 apart -> a 1-token gap -> two islands."""
+    from datavalidation_spark.operators.decontam import contaminated_spans
+
+    bench = spark.createDataFrame(
+        [(100, "aa bb"), (101, "cc dd"), (102, "ee ff")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # n=2: hit at s=1 covers 1-2; "cc dd" at s=3 covers 3-4 (touching)
+            (1, "aa bb cc dd q1 q2"),
+            # hit at s=1 covers 1-2; "ee ff" at s=4 covers 4-5 (gap at 3)
+            (2, "aa bb q1 ee ff q2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in contaminated_spans(train, bench, n=2).collect()
+    }
+    assert got == {(1, 1, 4), (2, 1, 2), (2, 4, 5)}
