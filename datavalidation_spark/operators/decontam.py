@@ -33,19 +33,8 @@ from datavalidation_spark.operators.text import tokens
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Distinct word n-grams (space-joined) of ``text``; empty array when
-    the document has fewer than ``n`` tokens. The ``when`` guard matters:
-    Spark's ``sequence(1, 0)`` generates a DESCENDING sequence rather than
-    an empty one."""
-    t = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
-    return F.array_distinct(
-        F.when(F.size(t) >= n, grams).otherwise(
-            F.array().cast("array<string>")
-        )
-    )
+    the document has fewer than ``n`` tokens."""
+    return F.array_distinct(word_ngrams_seq(text, n))
 
 
 def decontaminate(
@@ -88,8 +77,10 @@ def decontaminate(
 
 def word_ngrams_seq(text: Column, n: int) -> Column:
     """All word n-grams of ``text`` in POSITION ORDER (not deduplicated):
-    element i (0-based) is the gram starting at token i+1. Companion of
-    :func:`word_ngrams` for span-level work, same tokenizer."""
+    element i (0-based) is the gram starting at token i+1 — the single gram
+    builder (:func:`word_ngrams` is its array_distinct). The ``when`` guard
+    matters: Spark's ``sequence(1, 0)`` generates a DESCENDING sequence
+    rather than an empty one."""
     t = tokens(text)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - n + 1),

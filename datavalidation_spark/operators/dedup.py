@@ -385,9 +385,14 @@ def simhash_pairs(
     )
     # The self-join below would otherwise recompute the whole signature
     # pipeline (token hashing + 64 bit-vote sums) once PER SIDE — broadcast
-    # of the build side defeats exchange reuse. Materialize once: (id,
-    # simhash) is 16 bytes/row, cheap to hold even at full corpus scale.
-    sig = sig.localCheckpoint(eager=False)
+    # of the build side defeats exchange reuse. persist() (NOT
+    # localCheckpoint: truncated lineage + non-replicated blocks turn an
+    # executor loss into a job failure on a real cluster) makes both sides
+    # read one materialization; (id, simhash) is 16 bytes/row, cheap to
+    # hold even at full corpus scale, and lineage survives for recompute.
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     width = 64 // n_blocks
     blocked = sig.select(
         "id",
