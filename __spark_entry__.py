@@ -484,6 +484,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-blocked semantic dedup — cell
+    assignment to md5-seeded centroids, within-cell cosine-threshold
+    duplicate marking, keep-lowest-id representative. Complements
+    embedding_near_dup (LSH-blocked pairs) with the cluster-blocked
+    curation verdict: which rows to DROP and who they duplicate. Fully
+    deterministic (no RNG, no Lloyd), so the DuckDB oracle replays cell
+    assignment and verdicts value-for-value."""
+    from datavalidation_spark.operators.similarity import semdedup
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return semdedup(emb, n_cells=16, tau=0.4, seed=42)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 20 query vectors (the exact
     baseline the LSH path is measured against)."""
@@ -1420,6 +1434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "embedding_near_dup": q_embedding_near_dup,
+    "semdedup": q_semdedup,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "drift_events": q_drift_events,
@@ -2455,6 +2470,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN u ua ON ua.vec_id = c.id_a
             JOIN u ub ON ub.vec_id = c.id_b
             WHERE round(list_dot_product(ua.v, ub.v) / (ua.nrm * ub.nrm), 4) >= 0.4
+        """,
+        # Replays operators/similarity.py::semdedup exactly: md5-seeded
+        # centroid pick, (sim desc, cell desc) argmax assignment at 6 dp,
+        # within-cell a<b pairs at 4 dp >= tau, best neighbor per dropped row.
+        "semdedup": """
+            WITH n AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            u AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+                  WHERE sqrt(list_dot_product(v, v)) > 0),
+            cent AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id
+                     ) - 1 AS cell,
+                     v AS cv, nrm AS cnrm
+              FROM u
+              ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id
+              LIMIT 16
+            ),
+            scored AS (
+              SELECT u.vec_id, u.v, u.nrm, c.cell,
+                     round(list_dot_product(u.v, c.cv) / (u.nrm * c.cnrm), 6) AS sim
+              FROM u CROSS JOIN cent c
+            ),
+            assigned AS (
+              SELECT vec_id, cell, v, nrm FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell DESC) AS rn
+                FROM scored) WHERE rn = 1
+            ),
+            sized AS (
+              SELECT vec_id, cell, v, nrm FROM (
+                SELECT *, count(*) OVER (PARTITION BY cell) AS csz FROM assigned
+              ) WHERE csz <= 10000
+            ),
+            pairs AS (
+              SELECT b.vec_id AS vec_id, b.cell AS cell, a.vec_id AS dup_of,
+                     round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+              FROM sized a JOIN sized b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4
+            )
+            SELECT vec_id, CAST(cell AS INT) AS cell, dup_of, cosine FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cosine DESC, dup_of ASC) AS rn
+              FROM pairs
+            ) WHERE rn = 1
         """,
         "ann_topk": f"""
             WITH {_NORM_EMB_SQL},

@@ -524,3 +524,101 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_cells: int = 16,
+    tau: float = 0.4,
+    seed: int = 42,
+    max_cell: int = 10_000,
+    round_dp: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    into cells, then mark within-cell cosine near-duplicates, keeping one
+    representative per duplicate group (lowest id wins). Returns the DROPPED
+    rows: (vec_id, cell, dup_of, cosine) where dup_of is the best qualifying
+    smaller-id neighbor (cosine desc, id asc) — the kept set is everything
+    not returned.
+
+    Engine-portable determinism (same policy as the md5-Rademacher LSH
+    family above): centroids are the ``n_cells`` corpus vectors with the
+    smallest ``md5("{id}:{seed}")`` — no RNG, no Lloyd iterations — so a SQL
+    oracle regenerates cell assignment and verdicts value-for-value. Cell
+    assignment maximizes cosine rounded to 6 dp with lexicographic
+    (sim, cell) max tie-break.
+
+    100-TB shape: centroid pick is a TakeOrdered (per-partition top-k, no
+    global sort); assignment is a broadcast cross join whose rows·cells
+    expansion collapses map-side (partial argmax) before the one exchange on
+    the unique id; the pair join is blocked by cell (SemDeDup's point —
+    ``n_cells`` scales with corpus so cells stay ~constant-sized) with a
+    ``max_cell`` guard against degenerate cells, and the assignment is
+    persisted so the self-join's two sides share one computation.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    u = corpus.select(
+        F.col(id_col).alias("vid"), v.alias("v"), _norm(v).alias("nrm")
+    ).where(F.col("nrm") > 0)
+
+    ck = F.md5(F.concat(F.col("vid").cast("string"), F.lit(f":{seed}")))
+    picked = u.withColumn("ck", ck).orderBy("ck", "vid").limit(n_cells)
+    wc = Window.orderBy("ck", "vid")
+    cent = picked.select(
+        (F.row_number().over(wc) - 1).alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    scored = u.crossJoin(F.broadcast(cent)).select(
+        "vid",
+        "v",
+        "nrm",
+        "cell",
+        F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6).alias(
+            "sim"
+        ),
+    )
+    assigned = (
+        scored.groupBy("vid")
+        .agg(
+            F.max(F.struct("sim", "cell"))["cell"].alias("cell"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+        .withColumn("csz", F.count(F.lit(1)).over(Window.partitionBy("cell")))
+        .where(F.col("csz") <= max_cell)
+        .select("vid", "cell", "v", "nrm")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    a = assigned.select(
+        F.col("vid").alias("dup_of"),
+        "cell",
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    b = assigned.select(
+        F.col("vid").alias("vec_id"),
+        "cell",
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    cos = F.round(
+        _dot(F.col("av"), F.col("bv")) / (F.col("anrm") * F.col("bnrm")), round_dp
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("dup_of") < F.col("vec_id"))
+        .select("vec_id", "cell", "dup_of", cos.alias("cosine"))
+        .where(F.col("cosine") >= tau)
+    )
+    wb = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("dup_of"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cell").cast("int").alias("cell"), "dup_of", "cosine")
+    )

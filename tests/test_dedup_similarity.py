@@ -356,3 +356,60 @@ def test_winnow_matches_pandas_oracle(spark):
         mins = {min(grams[i : i + 4]) for i in range(n_win)}
         exp[r.doc_id] = tuple(sorted(mins))
     assert got == exp
+
+
+def test_semdedup_planted_copy_dropped(spark):
+    """An exact-copy vector with a higher id must be dropped with cosine 1.0
+    against the original; kept ∪ dropped partitions the corpus; every
+    dropped row names a smaller-id representative."""
+    from datavalidation_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    copy = emb.where(F.col("vec_id") == 0).select(
+        F.lit(99001).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copy)
+    dropped = {r.vec_id: r for r in semdedup(corpus, n_cells=8, tau=0.4).collect()}
+
+    assert 99001 in dropped
+    assert dropped[99001].dup_of == 0
+    assert dropped[99001].cosine == pytest.approx(1.0, abs=1e-4)
+    all_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
+    assert set(dropped) < all_ids
+    for r in dropped.values():
+        assert r.dup_of < r.vec_id
+        assert r.cosine >= 0.4
+
+
+def test_semdedup_cell_blocking_is_exhaustive_within_cell(spark):
+    """Within one cell, semdedup's verdicts agree with brute force: a row is
+    dropped iff some smaller-id row in the SAME cell has cosine >= tau."""
+    from datavalidation_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dropped = semdedup(emb, n_cells=4, tau=0.3).collect()
+    # brute-force within-cell oracle in numpy
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    # replicate cell assignment via the operator itself at tau > 1 (no pairs
+    # fire), so the test only re-derives the PAIR phase independently
+    import hashlib
+
+    order = sorted(ids, key=lambda i: (hashlib.md5(f"{i}:42".encode()).hexdigest(), i))
+    cents = {cell: V[list(ids).index(i)] for cell, i in enumerate(order[:4])}
+    sims = np.stack([V @ cents[c] for c in range(4)], axis=1).round(6)
+    # argmax with (sim, cell) lexicographic max tie-break
+    cell_of = {
+        ids[k]: max(range(4), key=lambda c: (sims[k, c], c)) for k in range(len(ids))
+    }
+    expect_dropped = set()
+    for k, i in enumerate(ids):
+        for j_idx, j in enumerate(ids):
+            if j < i and cell_of[j] == cell_of[i]:
+                if round(float(V[j_idx] @ V[k]), 4) >= 0.3:
+                    expect_dropped.add(int(i))
+                    break
+    assert {r.vec_id for r in dropped} == expect_dropped
+    assert all(cell_of[r.vec_id] == r.cell for r in dropped)
