@@ -1401,7 +1401,87 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated_spans(train, bench, n=4)
 
 
+# ---------------------------------------------------------------------------
+# Cross-row consistency constraints (FD / CFD) — engine/constraints.py
+# ---------------------------------------------------------------------------
+# The driver tables are referentially clean, so the dirty fixture is DERIVED
+# deterministically from `events` with pure integer arithmetic that parses
+# identically in Spark and DuckDB (same pattern as _MARITIME_CTX_COLS):
+# code -> label holds except where event_id % 991 == 0 flips the label.
+_FD_CTX_SQL = [
+    "event_id % 97 AS code",
+    "event_type",
+    "(event_id % 97) * 10 + CASE WHEN event_id % 991 = 0 THEN 1 ELSE 0 END"
+    " AS label",
+]
+
+
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency + conditional-FD violations (cross-row
+    consistency — the inconsistency class the reference's per-vessel
+    first-row lookups silently hide, speed_validation.py:49-53). The FD
+    branch checks code -> label over all events; the CFD branch checks the
+    same dependency restricted to click/view rows. Two map-side-combinable
+    aggregations, no Expand, no per-key distinct sets (see
+    engine/constraints.py docstring for the skew analysis)."""
+    from datavalidation_spark.engine.constraints import fd_violations
+
+    ev = _t(spark, sf_dir, "events").selectExpr(*_FD_CTX_SQL)
+    fd = fd_violations(ev, ["code"], ["label"]).withColumn(
+        "constraint_kind", F.lit("FD")
+    )
+    cfd = fd_violations(
+        ev, ["code"], ["label"],
+        condition=F.col("event_type").isin("click", "view"),
+    ).withColumn("constraint_kind", F.lit("CFD"))
+    return fd.unionByName(cfd).select(
+        "constraint_kind", "code", "n_rows", "n_variants",
+        "min_label", "max_label",
+    )
+
+
+def q_profile_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP sketch profile with accuracy gate (SURVEY A8 extended to
+    grouped profiling — per-partition quantiles are the 100-TB shape: one
+    profile row per Iceberg partition, not one global row). One groupBy pass
+    computes exact percentiles + exact distinct (verification-grade,
+    contract-only) alongside the GK quantile sketch and HLL estimate;
+    driver-facing columns are the exact scalars plus tolerance booleans the
+    DuckDB oracle asserts TRUE — per-group sketch accuracy as a hard gate.
+    Production path is sketch-only (engine/profiling.py::profile)."""
+    ev = _t(spark, sf_dir, "events")
+    rng = F.max("value") - F.min("value")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, array(0.5, 0.9))").alias("_exact"),
+        F.percentile_approx("value", [0.5, 0.9], 10000).alias("_gk"),
+        F.countDistinct("value").alias("nd"),
+        F.approx_count_distinct("value", 0.015).alias("_hll"),
+        rng.alias("_range"),
+    )
+    tol = F.col("_range") * 0.05
+    gk_ok = (
+        (F.abs(F.col("_gk")[0] - F.col("_exact")[0]) <= tol)
+        & (F.abs(F.col("_gk")[1] - F.col("_exact")[1]) <= tol)
+    )
+    hll_ok = (
+        F.abs(F.col("_hll") - F.col("nd"))
+        <= F.greatest(F.col("nd") * 0.05, F.lit(8.0))
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("_exact")[0], 6).alias("p50"),
+        F.round(F.col("_exact")[1], 6).alias("p90"),
+        "nd",
+        gk_ok.alias("gk_ok"),
+        hll_ok.alias("hll_ok"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "fd_check": q_fd_check,
+    "profile_group_quantiles": q_profile_group_quantiles,
     "maritime_catalog": q_maritime_catalog,
     "maritime_distance": q_maritime_distance,
     "maritime_fuel_rob": q_maritime_fuel_rob,
@@ -1929,8 +2009,43 @@ def _pii_oracle_sql() -> str:
         """
 
 
+_FD_CTX_ORACLE = ", ".join(_FD_CTX_SQL)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "fd_check": f"""
+            WITH fdctx AS (SELECT {_FD_CTX_ORACLE} FROM events),
+            fd AS (
+              SELECT 'FD' AS constraint_kind, code,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT label) AS BIGINT) AS n_variants,
+                     min(label) AS min_label, max(label) AS max_label
+              FROM fdctx GROUP BY code
+              HAVING count(DISTINCT label) >= 2
+            ),
+            cfd AS (
+              SELECT 'CFD' AS constraint_kind, code,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT label) AS BIGINT) AS n_variants,
+                     min(label) AS min_label, max(label) AS max_label
+              FROM fdctx WHERE event_type IN ('click', 'view')
+              GROUP BY code
+              HAVING count(DISTINCT label) >= 2
+            )
+            SELECT * FROM fd UNION ALL SELECT * FROM cfd
+        """,
+        # Exact scalars hashed; sketch accuracy asserted via the booleans
+        # (same gate shape as profile_sketches / profile_tdigest).
+        "profile_group_quantiles": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   CAST(count(DISTINCT value) AS BIGINT) AS nd,
+                   TRUE AS gk_ok, TRUE AS hll_ok
+            FROM events GROUP BY event_type
+        """,
         "maritime_catalog": _maritime_oracle_sql(),
         "maritime_distance": _distance_oracle_sql(),
         "maritime_fuel_rob": _fuel_rob_oracle_sql(),
