@@ -609,6 +609,63 @@ def q_advanced_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_advanced_anomaly_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly-ensemble DETECTION QUALITY in the hard gate (the accuracy-
+    boolean pattern of the sketch gates, applied to M3): each user group
+    gets exactly ONE planted extreme outlier (500+ vs a 0-9.9 base signal)
+    at its last row by (ts, event_id) — always inside the temporal TEST
+    half the ensemble scores — and ``planted_flagged`` asserts the LOF ∪
+    iForest ensemble's flagged indices contain it. The oracle reproduces
+    the group sizes in SQL and asserts the boolean TRUE, so a regression
+    in either detector (or in the split/scale preprocessing feeding them)
+    goes red in CORRECTNESS, not just in pytest. The raw-ensemble-output
+    row (q_advanced_anomaly) stays rows-only: seeded scores are not
+    SQL-expressible; this row gates what IS portable — whether the planted
+    anomaly was caught."""
+    from datavalidation_spark.engine.drift import run_advanced_checks
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    fixture = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "feat",
+            F.when(
+                F.col("_rn") == F.col("_n"),
+                500.0 + (F.col("event_id") % 97).cast("double"),
+            ).otherwise((F.col("event_id") % 100) / F.lit(10.0)),
+        )
+    )
+    res = run_advanced_checks(
+        fixture,
+        group_col="user_id",
+        ts_col="ts",
+        features=["feat"],
+        order_cols=["ts", "event_id"],
+        prefer_scipy=False,
+        checks={"anomaly"},
+    )
+    # test half = rows mid..n-1 (mid = n//2); the planted row is the last →
+    # 0-based position n - mid - 1 within the ensemble's index space
+    sizes = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("_n"))
+    sizes = sizes.select(
+        F.col("user_id").cast("string").alias("group_key"),
+        (F.col("_n") - F.floor(F.col("_n") / 2)).cast("long").alias("n_test"),
+    )
+    return (
+        res.join(F.broadcast(sizes), "group_key")
+        .select(
+            "group_key",
+            "n_test",
+            F.array_contains(
+                "indices", (F.col("n_test") - 1).cast("int")
+            ).alias("planted_flagged"),
+        )
+    )
+
+
 def q_advanced_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-pandas ML tier, ensemble subset (SURVEY M3): LOF ∪ iForest
     anomaly ensemble — the ONE remaining rows-only driver check (seeded-RNG
@@ -1536,6 +1593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_windowed": q_drift_windowed,
     "advanced_checks": q_advanced_checks,
     "advanced_anomaly": q_advanced_anomaly,
+    "advanced_anomaly_recall": q_advanced_anomaly_recall,
     "advanced_mi": q_advanced_mi,
     "advanced_changepoint": q_advanced_changepoint,
     "doc_rule_violations": q_doc_rule_violations,
@@ -2049,6 +2107,15 @@ def oracle_sql() -> dict[str, str]:
               HAVING count(DISTINCT label) >= 2
             )
             SELECT * FROM fd UNION ALL SELECT * FROM cfd
+        """,
+        # Ensemble detection quality: group sizes reproduced in SQL, the
+        # planted-outlier-caught boolean asserted TRUE (see the query doc).
+        "advanced_anomaly_recall": """
+            SELECT CAST(user_id AS VARCHAR) AS group_key,
+                   CAST(count(*) - count(*) // 2 AS BIGINT) AS n_test,
+                   TRUE AS planted_flagged
+            FROM events GROUP BY user_id
+            HAVING count(*) >= 8
         """,
         # Exact scalars hashed; sketch accuracy asserted via the booleans
         # (same gate shape as profile_sketches / profile_tdigest).
