@@ -1497,6 +1497,39 @@ def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Expected-schema catalog for `events` with planted drift: `value` expected
+# float32 (actual float64 -> TYPE_MISMATCH), `session_id` expected but absent
+# (-> MISSING), `props` real but uncatalogued (-> UNEXPECTED).
+_EVENTS_EXPECTED_SCHEMA: list[tuple[str, str]] = [
+    ("event_id", "int64"),
+    ("ts", "timestamp"),
+    ("user_id", "int64"),
+    ("event_type", "string"),
+    ("value", "float32"),
+    ("session_id", "string"),
+]
+
+
+def q_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema conformance verdicts (the north_star's 'schema + constraint
+    validation' first half, explicit): the actual events parquet schema vs
+    an expected column catalog with planted mismatches. Pure metadata — no
+    scan is paid; at 100 TB this gates the run before any job launches. The
+    DuckDB oracle derives the same verdicts from DESCRIBE with a canonical
+    type mapping, so the catalog itself is engine-portable."""
+    from datavalidation_spark.engine.schema import schema_violations
+
+    out = schema_violations(_t(spark, sf_dir, "events"), _EVENTS_EXPECTED_SCHEMA)
+    # '-' for the absent side: the driver compare sorts column values, and
+    # NULL does not order against strings in a Python tuple sort
+    return out.select(
+        "column",
+        "status",
+        F.coalesce("expected_type", F.lit("-")).alias("expected_type"),
+        F.coalesce("actual_type", F.lit("-")).alias("actual_type"),
+    )
+
+
 def q_profile_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP sketch profile with accuracy gate (SURVEY A8 extended to
     grouped profiling — per-partition quantiles are the 100-TB shape: one
@@ -1552,6 +1585,7 @@ def q_profile_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "schema_check": q_schema_check,
     "fd_check": q_fd_check,
     "profile_group_quantiles": q_profile_group_quantiles,
     "maritime_catalog": q_maritime_catalog,
@@ -2107,6 +2141,41 @@ def oracle_sql() -> dict[str, str]:
               HAVING count(DISTINCT label) >= 2
             )
             SELECT * FROM fd UNION ALL SELECT * FROM cfd
+        """,
+        # Schema verdicts from DESCRIBE + the same expected catalog; the
+        # CASE maps DuckDB type names onto the canonical names of
+        # engine/schema.py so the catalog is engine-portable.
+        "schema_check": """
+            WITH actual AS (
+              SELECT column_name AS col_name,
+                     CASE column_type
+                       WHEN 'BIGINT' THEN 'int64'
+                       WHEN 'INTEGER' THEN 'int32'
+                       WHEN 'SMALLINT' THEN 'int16'
+                       WHEN 'TINYINT' THEN 'int8'
+                       WHEN 'DOUBLE' THEN 'float64'
+                       WHEN 'FLOAT' THEN 'float32'
+                       WHEN 'VARCHAR' THEN 'string'
+                       WHEN 'BOOLEAN' THEN 'bool'
+                       WHEN 'TIMESTAMP' THEN 'timestamp'
+                       WHEN 'DATE' THEN 'date'
+                       WHEN 'BLOB' THEN 'binary'
+                       ELSE lower(column_type) END AS atype
+              FROM (DESCRIBE events)
+            ),
+            expected(col_name, etype) AS (VALUES
+              ('event_id', 'int64'), ('ts', 'timestamp'),
+              ('user_id', 'int64'), ('event_type', 'string'),
+              ('value', 'float32'), ('session_id', 'string')
+            )
+            SELECT coalesce(e.col_name, a.col_name) AS "column",
+                   CASE WHEN a.col_name IS NULL THEN 'MISSING'
+                        WHEN e.col_name IS NULL THEN 'UNEXPECTED'
+                        WHEN e.etype <> a.atype THEN 'TYPE_MISMATCH'
+                        ELSE 'OK' END AS status,
+                   coalesce(e.etype, '-') AS expected_type,
+                   coalesce(a.atype, '-') AS actual_type
+            FROM expected e FULL OUTER JOIN actual a USING (col_name)
         """,
         # Ensemble detection quality: group sizes reproduced in SQL, the
         # planted-outlier-caught boolean asserted TRUE (see the query doc).
