@@ -71,6 +71,29 @@ def test_multi_column_lhs_rhs(spark):
     assert (out[0].min_v2, out[0].max_v2) == ("p", "q")
 
 
+def test_fd_plan_shape(spark):
+    """Scale contract: the FD check must plan as two hash aggregations with
+    NO Expand (the countDistinct rewrite's row-multiplication) and no
+    per-key distinct collection — that is the whole point of the
+    groupBy(lhs+rhs)-then-groupBy(lhs) formulation."""
+    df = _fixture(spark)
+    plan = (
+        fd_violations(df, ["k"], ["v"])
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+    # two phases x (partial + final); string min/max buffers are variable
+    # length so phase 2 may legitimately plan as SortAggregate — what
+    # matters is two-phase (map-side combined) aggregation, not the
+    # physical operator family
+    import re
+
+    assert len(re.findall(r"(?:Hash|Sort|ObjectHash)Aggregate", plan)) >= 4
+    assert "partial_count" in plan  # map-side combine on phase 1
+
+
 def test_empty_args_rejected(spark):
     df = _fixture(spark)
     for lhs, rhs in ([], ["v"]), (["k"], []):
