@@ -627,8 +627,14 @@ def q_advanced_anomaly_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wn = Window.partitionBy("user_id")
+    # user-specified spread on the window/grouped-map key: an
+    # ENSURE_REQUIREMENTS exchange here gets AQE-coalesced to ~3 tasks
+    # (few MB) and the CPU-bound pandas ensemble stage inherits that
+    # parallelism — measured 9.5 s vs 1.9 s (same fix as
+    # q_advanced_changepoint; rationale at engine/drift.py:560-573)
     fixture = (
-        ev.withColumn("_rn", F.row_number().over(w))
+        ev.repartition(spark.sparkContext.defaultParallelism, "user_id")
+        .withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(wn))
         .withColumn(
             "feat",
@@ -1530,6 +1536,31 @@ def q_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (engine/reconcile.py): snapshot B is derived
+    from events with planted deletions (event_id%101), value changes
+    (event_id%103) and additions (event_id%107 re-keyed +10^7); table_diff
+    reports exactly those rows as REMOVED / CHANGED / ADDED via ONE
+    full-outer key join comparing null-safe row fingerprints (one long per
+    side, so wide tables diff as cheaply as narrow ones). The oracle
+    rebuilds snapshot B and the diff predicate with direct column
+    comparison — the same relation the fingerprint encodes."""
+    from datavalidation_spark.engine.reconcile import table_diff
+
+    a = _t(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    survivors = a.where(F.col("event_id") % 101 != 0).withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 103 == 0, F.col("value") + 1.0
+        ).otherwise(F.col("value")),
+    )
+    added = a.where(F.col("event_id") % 107 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
+    )
+    b = survivors.unionByName(added)
+    return table_diff(a, b, ["event_id"], ["value", "event_type"])
+
+
 def q_profile_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP sketch profile with accuracy gate (SURVEY A8 extended to
     grouped profiling — per-partition quantiles are the 100-TB shape: one
@@ -1587,6 +1618,7 @@ def q_profile_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schema_check": q_schema_check,
     "fd_check": q_fd_check,
+    "snapshot_diff": q_snapshot_diff,
     "profile_group_quantiles": q_profile_group_quantiles,
     "maritime_catalog": q_maritime_catalog,
     "maritime_distance": q_maritime_distance,
@@ -2141,6 +2173,31 @@ def oracle_sql() -> dict[str, str]:
               HAVING count(DISTINCT label) >= 2
             )
             SELECT * FROM fd UNION ALL SELECT * FROM cfd
+        """,
+        # Snapshot B rebuilt in SQL; the diff predicate compares columns
+        # directly (IS DISTINCT FROM) — the relation the engine's row
+        # fingerprint encodes.
+        "snapshot_diff": """
+            WITH a AS (SELECT event_id, value, event_type FROM events),
+            b AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 103 = 0 THEN value + 1.0
+                          ELSE value END AS value,
+                     event_type
+              FROM events WHERE event_id % 101 <> 0
+              UNION ALL
+              SELECT event_id + 10000000, value, event_type
+              FROM events WHERE event_id % 107 = 0
+            )
+            SELECT event_id, status FROM (
+              SELECT coalesce(a.event_id, b.event_id) AS event_id,
+                     CASE WHEN a.event_id IS NULL THEN 'ADDED'
+                          WHEN b.event_id IS NULL THEN 'REMOVED'
+                          WHEN (a.value IS DISTINCT FROM b.value)
+                            OR (a.event_type IS DISTINCT FROM b.event_type)
+                          THEN 'CHANGED' ELSE 'UNCHANGED' END AS status
+              FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+            ) WHERE status <> 'UNCHANGED'
         """,
         # Schema verdicts from DESCRIBE + the same expected catalog; the
         # CASE maps DuckDB type names onto the canonical names of
