@@ -1561,6 +1561,34 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(a, b, ["event_id"], ["value", "event_type"])
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics (engine/reconcile.py::merge_upsert): apply a
+    changeset of updates (event_id%103), inserts (event_id%107 re-keyed
+    +10^7) and deletes (event_id%101, taking precedence over update) to the
+    events snapshot — the exact changeset whose diff q_snapshot_diff
+    verifies, so the two rows gate inverse operations of the same fixture.
+    Planned as one left-anti join on the changeset keys plus a union: the
+    big target is never shuffled. The oracle constructs the merged snapshot
+    directly in SQL."""
+    from datavalidation_spark.engine.reconcile import merge_upsert
+
+    eid = F.col("event_id")
+    tgt = _t(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    upd = (
+        tgt.where((eid % 103 == 0) & (eid % 101 != 0))
+        .withColumn("value", F.col("value") + 1.0)
+        .withColumn("_deleted", F.lit(False))
+    )
+    ins = (
+        tgt.where(eid % 107 == 0)
+        .withColumn("event_id", eid + F.lit(10_000_000))
+        .withColumn("_deleted", F.lit(False))
+    )
+    dele = tgt.where(eid % 101 == 0).withColumn("_deleted", F.lit(True))
+    changeset = upd.unionByName(ins).unionByName(dele)
+    return merge_upsert(tgt, changeset, ["event_id"], delete_col="_deleted")
+
+
 def q_profile_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP sketch profile with accuracy gate (SURVEY A8 extended to
     grouped profiling — per-partition quantiles are the 100-TB shape: one
@@ -1619,6 +1647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schema_check": q_schema_check,
     "fd_check": q_fd_check,
     "snapshot_diff": q_snapshot_diff,
+    "merge_upsert": q_merge_upsert,
     "profile_group_quantiles": q_profile_group_quantiles,
     "maritime_catalog": q_maritime_catalog,
     "maritime_distance": q_maritime_distance,
@@ -2198,6 +2227,19 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'CHANGED' ELSE 'UNCHANGED' END AS status
               FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
             ) WHERE status <> 'UNCHANGED'
+        """,
+        # The merged snapshot constructed directly: survivors with updates
+        # applied (deletes excluded), plus the re-keyed inserts — the same
+        # relation merge_upsert's anti-join + union produces.
+        "merge_upsert": """
+            SELECT event_id,
+                   CASE WHEN event_id % 103 = 0 THEN value + 1.0
+                        ELSE value END AS value,
+                   event_type
+            FROM events WHERE event_id % 101 <> 0
+            UNION ALL
+            SELECT event_id + 10000000 AS event_id, value, event_type
+            FROM events WHERE event_id % 107 = 0
         """,
         # Schema verdicts from DESCRIBE + the same expected catalog; the
         # CASE maps DuckDB type names onto the canonical names of

@@ -21,6 +21,11 @@ Scale design (100 TB): two tiers.
 Fingerprints use ``xxhash64`` over the compared columns — engine-internal
 on purpose (never exposed in contract outputs; the `snapshot_diff` oracle
 compares column values directly, which is the same predicate).
+
+``merge_upsert`` is the write-side inverse: apply a changeset (updates +
+inserts + deletes) to a snapshot with SQL MERGE semantics, planned so the
+big target is anti-joined against the small changeset's keys (broadcast
+when it fits) and never shuffled.
 """
 
 from __future__ import annotations
@@ -78,6 +83,37 @@ def diverging_partitions(
         F.col("a.n_rows").alias("n_rows_a"),
         F.col("b.n_rows").alias("n_rows_b"),
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """SQL MERGE semantics without a table format: upsert ``source`` into
+    ``target`` by key — matched keys take the source row (update), unmatched
+    source rows insert, and if ``delete_col`` names a boolean column in
+    ``source``, rows where it is true delete the matching target key instead.
+
+    Planned as ONE left-anti join (target keys not present in source) plus a
+    union with the surviving source rows — no full-outer join, no window.
+    The anti join broadcasts when the source fits (Catalyst static estimate
+    + AQE), which is the common case: a changeset is small relative to the
+    100-TB target, so the target is never shuffled at all. Source keys must
+    be unique (run the uniqueness engine on the changeset first).
+    """
+    if not key_cols:
+        raise ValueError("merge_upsert needs key columns")
+    out_cols = target.columns
+    keys = source.select(*key_cols)
+    untouched = target.join(keys, on=key_cols, how="left_anti")
+    surviving = source
+    if delete_col is not None:
+        surviving = surviving.where(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        )
+    return untouched.unionByName(surviving.select(*out_cols))
 
 
 def table_diff(

@@ -92,6 +92,56 @@ def test_digest_order_insensitive(spark):
     assert diverging_partitions(a, b, "part", ["id", "score"]).count() == 0
 
 
+def test_merge_upsert_planted(spark):
+    from datavalidation_spark.engine.reconcile import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+    )
+    changeset = spark.createDataFrame(
+        [
+            (2, "B", False),   # update
+            (4, "d", False),   # insert
+            (3, None, True),   # delete
+        ],
+        "id int, v string, _deleted boolean",
+    )
+    out = {
+        r.id: r.v
+        for r in merge_upsert(
+            target, changeset, ["id"], delete_col="_deleted"
+        ).collect()
+    }
+    assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_merge_then_diff_roundtrip(spark):
+    """merge_upsert and table_diff are inverses over the same changeset:
+    diffing the merged snapshot against the original reports exactly the
+    changeset's intent."""
+    from datavalidation_spark.engine.reconcile import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+    )
+    changeset = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "id int, v string, _deleted boolean",
+    )
+    merged = merge_upsert(target, changeset, ["id"], delete_col="_deleted")
+    diff = {r.id: r.status for r in table_diff(target, merged, ["id"]).collect()}
+    assert diff == {2: "CHANGED", 3: "REMOVED", 4: "ADDED"}
+
+
+def test_merge_upsert_no_delete_col(spark):
+    from datavalidation_spark.engine.reconcile import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], "id int, v string")
+    source = spark.createDataFrame([(1, "A"), (2, "b")], "id int, v string")
+    out = {r.id: r.v for r in merge_upsert(target, source, ["id"]).collect()}
+    assert out == {1: "A", 2: "b"}
+
+
 def test_key_required(spark):
     a, b = _snapshots(spark)
     try:
