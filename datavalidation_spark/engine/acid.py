@@ -70,11 +70,24 @@ class ManifestLog:
         os.rmdir(staging)
         return final
 
-    def commit(self, tables: dict[str, DataFrame], meta: dict | None = None) -> int:
+    def commit(
+        self,
+        tables: dict[str, DataFrame],
+        meta: dict | None = None,
+        replace: bool = False,
+    ) -> int:
         """Stage every table's data files, then publish them with ONE atomic
-        commit-file creation. Returns the commit sequence number."""
+        commit-file creation. Returns the commit sequence number.
+
+        ``replace=True`` gives this commit OVERWRITE-SNAPSHOT semantics for
+        its tables (Iceberg overwrite vs append): readers see only files
+        committed at or after the newest replacing commit. Replaced data
+        files stay on disk — ``read_at`` time travel still reaches them
+        (removal is an expire-snapshots concern, out of scope)."""
         files = {name: self._stage(name, df) for name, df in tables.items()}
         payload = {"tables": files, "meta": meta or {}}
+        if replace:
+            payload["replace"] = sorted(tables.keys())
         return self._publish(payload)
 
     def _publish(self, payload: dict) -> int:
@@ -238,11 +251,14 @@ class ManifestLog:
                 return None
             if doc is None:  # torn pre-link file: genuinely skippable
                 continue
+            for name in doc.get("replace", []):
+                tables[name] = []  # fold overwrite semantics into the ckpt
             for name, files in doc.get("tables", {}).items():
                 tables.setdefault(name, []).extend(files)
             history[f"{seq:08d}"] = {
                 "tables": doc.get("tables", {}),
                 "meta": doc.get("meta", {}),
+                "replace": doc.get("replace", []),
             }
         # belt-and-braces dedupe (first-seen order) so duplicates can never
         # persist and grow through successive folds
@@ -312,6 +328,8 @@ class ManifestLog:
                 continue  # folded into the checkpoint already
             doc = self._load(path)  # _Vanished → caller re-lists
             if doc is not None:
+                if name in doc.get("replace", []):
+                    out = []  # overwrite snapshot: older files invisible
                 out.extend(doc.get("tables", {}).get(name, []))
         # Reader race (ADVICE r3, medium): a compaction finishing entirely
         # between our checkpoint listing and our commit listing leaves no
@@ -413,6 +431,8 @@ class ManifestLog:
                         )
                     for s in sorted(hist):
                         if int(s) <= seq:
+                            if name in hist[s].get("replace", []):
+                                out = []
                             out.extend(
                                 hist[s].get("tables", {}).get(name, [])
                             )
@@ -421,6 +441,8 @@ class ManifestLog:
                 continue
             doc = self._load(path)
             if doc is not None:
+                if name in doc.get("replace", []):
+                    out = []
                 out.extend(doc.get("tables", {}).get(name, []))
         ckpts_after = self._checkpoints()
         if (ckpts_after[-1][0] if ckpts_after else 0) != head_before:
