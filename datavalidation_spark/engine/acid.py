@@ -299,6 +299,114 @@ class ManifestLog:
         self._fsync_dir(self.commits_dir)
         return top
 
+    def expire_snapshots(self, before_seq: int) -> dict:
+        """Iceberg expire-snapshots + vacuum: drop time-travel history for
+        snapshots with seq < ``before_seq`` and DELETE data files that no
+        kept snapshot (nor the current state) references. The newest expired
+        snapshot collapses into a synthetic full-state base entry so every
+        kept snapshot still reconstructs exactly; reads below the new
+        history floor raise ValueError (the time-travel contract).
+
+        Crash-safe in the same publish-then-delete order as compaction: the
+        truncated checkpoint is durably linked at a fresh seq BEFORE the old
+        checkpoint or any data file is unlinked, so readers always see a
+        complete manifest. A crash mid-vacuum leaks unreferenced files
+        (invisible to every read path) — rerunning expire does not find
+        them again; a directory sweep against ``committed_files`` is the
+        out-of-scope janitor.
+
+        Returns ``{"expired_snapshots": n, "deleted_files": n}``."""
+        self.compact()
+        ckpts = self._checkpoints()
+        if not ckpts:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        top, path = ckpts[-1]
+        doc = self._load(path)
+        if doc is None or "history" not in doc:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        hist = doc["history"]
+        expired = sorted(s for s in hist if int(s) < before_seq)
+        if not expired:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        kept = sorted(s for s in hist if int(s) >= before_seq)
+        boundary = expired[-1]
+
+        # state at the boundary: replay expired entries in order with
+        # replace resets — the same semantics _committed_files_at_once uses
+        state: dict[str, list[str]] = {}
+        all_tables: set[str] = set()
+        for s in expired:
+            entry = hist[s]
+            all_tables.update(entry.get("tables", {}))
+            for name in entry.get("replace", []):
+                state[name] = []
+            for name, files in entry.get("tables", {}).items():
+                state.setdefault(name, []).extend(files)
+        state = {n: list(dict.fromkeys(fs)) for n, fs in state.items()}
+
+        new_hist = {
+            boundary: {
+                "tables": state,
+                "meta": {"expired_through": int(boundary)},
+                "replace": sorted(all_tables | set(state)),
+            }
+        }
+        for s in kept:
+            new_hist[s] = hist[s]
+
+        keep_files: set[str] = set()
+        for fs in state.values():
+            keep_files.update(fs)
+        for s in kept:
+            for fs in hist[s].get("tables", {}).values():
+                keep_files.update(fs)
+        for fs in doc.get("tables", {}).values():  # belt-and-braces
+            keep_files.update(fs)
+        drop_files: set[str] = set()
+        for s in expired:
+            for fs in hist[s].get("tables", {}).values():
+                drop_files.update(f for f in fs if f not in keep_files)
+
+        new_doc = dict(doc)
+        new_doc["history"] = new_hist
+        new_doc["history_floor"] = int(boundary)
+        new_seq = self._next_seq()
+        new_doc["meta"] = {"checkpoint_of": new_seq, "expired_through": int(boundary)}
+        data = json.dumps(new_doc, sort_keys=True).encode()
+        tmp = os.path.join(self.commits_dir, f"_tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(
+                tmp,
+                os.path.join(self.commits_dir, f"_checkpoint-{new_seq:08d}.json"),
+            )
+        except FileExistsError:
+            return {"expired_snapshots": 0, "deleted_files": 0}  # lost race
+        finally:
+            os.unlink(tmp)
+        self._fsync_dir(self.commits_dir)
+        try:
+            os.unlink(path)  # the superseded checkpoint
+        except FileNotFoundError:
+            pass
+        self._fsync_dir(self.commits_dir)
+        deleted = 0
+        for f in sorted(drop_files):
+            try:
+                os.unlink(f)
+                deleted += 1
+            except FileNotFoundError:
+                pass
+        # the boundary entry survives as the synthetic base, so the count of
+        # snapshots made unreachable is len(expired) - 1
+        return {
+            "expired_snapshots": len(expired) - 1,
+            "deleted_files": deleted,
+        }
+
     def committed_files(self, name: str) -> list[str]:
         # a file enumerated by our listing can vanish mid-read when a
         # concurrent compaction folds it into a new checkpoint — in that
