@@ -1536,6 +1536,38 @@ def q_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENTS_EXPECTATIONS: list[dict] = [
+    {"name": "row-count", "kind": "row_count_between", "lo": 100, "hi": 10**12},
+    {"name": "value-null-rate", "kind": "null_rate_at_most",
+     "column": "value", "threshold": 0.001},
+    {"name": "value-min", "kind": "min_at_least", "column": "value",
+     "threshold": 0.0},
+    # planted FAILURE: max(value) ~490 at every SF
+    {"name": "value-max", "kind": "max_at_most", "column": "value",
+     "threshold": 400.0},
+    {"name": "value-mean", "kind": "mean_between", "column": "value",
+     "lo": 40.0, "hi": 60.0},
+    {"name": "event-id-unique", "kind": "unique", "column": "event_id"},
+    # planted FAILURE: 'signup' (~20% of rows) is outside the set
+    {"name": "event-type-enum", "kind": "in_set", "column": "event_type",
+     "values": ["click", "view", "purchase", "error"]},
+]
+
+
+def q_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level expectation suite (engine/expectations.py, the Great
+    Expectations shape): 7 assertions over events compiled into ONE
+    map-side-combined aggregation pass, two of them planted to FAIL
+    (ok=false rows prove detection, not just agreement). The oracle
+    recomputes every observed scalar and verdict in SQL."""
+    from datavalidation_spark.engine.expectations import run_expectations
+
+    out = run_expectations(_t(spark, sf_dir, "events"), _EVENTS_EXPECTATIONS)
+    # '-' for table-level expectations: NULL does not sort against strings
+    # in the driver compare (same convention as schema_check)
+    return out.withColumn("column", F.coalesce("column", F.lit("-")))
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation (engine/reconcile.py): snapshot B is derived
     from events with planted deletions (event_id%101), value changes
@@ -1648,6 +1680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fd_check": q_fd_check,
     "snapshot_diff": q_snapshot_diff,
     "merge_upsert": q_merge_upsert,
+    "expectation_suite": q_expectation_suite,
     "profile_group_quantiles": q_profile_group_quantiles,
     "maritime_catalog": q_maritime_catalog,
     "maritime_distance": q_maritime_distance,
@@ -2227,6 +2260,37 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'CHANGED' ELSE 'UNCHANGED' END AS status
               FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
             ) WHERE status <> 'UNCHANGED'
+        """,
+        # Every observed scalar and verdict recomputed in SQL from one
+        # aggregate CTE; verdicts compare the UNROUNDED observed, matching
+        # the engine.
+        "expectation_suite": """
+            WITH s AS (
+              SELECT count(*) AS n,
+                     sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nnull,
+                     min(value) AS mn, max(value) AS mx, avg(value) AS mean,
+                     count(DISTINCT event_id) AS nd,
+                     sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+                         ('click', 'view', 'purchase', 'error')
+                         THEN 1 ELSE 0 END) AS oos
+              FROM events
+            )
+            SELECT 'row-count' AS expectation, '-' AS "column",
+                   round(CAST(n AS DOUBLE), 6) AS observed,
+                   n BETWEEN 100 AND 1000000000000 AS ok FROM s
+            UNION ALL SELECT 'value-null-rate', 'value',
+                   round(nnull / CAST(n AS DOUBLE), 6),
+                   nnull / CAST(n AS DOUBLE) <= 0.001 FROM s
+            UNION ALL SELECT 'value-min', 'value', round(mn, 6),
+                   mn >= 0.0 FROM s
+            UNION ALL SELECT 'value-max', 'value', round(mx, 6),
+                   mx <= 400.0 FROM s
+            UNION ALL SELECT 'value-mean', 'value', round(mean, 6),
+                   mean BETWEEN 40.0 AND 60.0 FROM s
+            UNION ALL SELECT 'event-id-unique', 'event_id',
+                   round(CAST(n - nd AS DOUBLE), 6), n = nd FROM s
+            UNION ALL SELECT 'event-type-enum', 'event_type',
+                   round(oos / CAST(n AS DOUBLE), 6), oos = 0 FROM s
         """,
         # The merged snapshot constructed directly: survivors with updates
         # applied (deletes excluded), plus the re-keyed inserts — the same
