@@ -1291,6 +1291,52 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training (operators/packing.py): greedy
+    first-fit of docs into capacity-64 token sequences within portable
+    md5-hash buckets. Ints-only shuffle (doc_id, n_tokens, bucket); the
+    oracle replays the identical visit order as a DuckDB recursive CTE.
+    capacity=64 at gate SFs so BOTH branches fire: docs over capacity
+    truncate into their own pack, short docs co-pack."""
+    from datavalidation_spark.operators.packing import pack_sequences
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return pack_sequences(docs, capacity=64, n_buckets=8, seed="pack")
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level paragraph dedup (operators/dedup.py::paragraph_dedup,
+    CCNet/RefinedWeb style): keep each paragraph's FIRST corpus occurrence
+    by (doc_id, pos), reassemble survivors per doc. The documents fixture
+    is single-line, so paragraphs are DERIVED identically in both engines:
+    whitespace tokens chunked into 3-token lines joined by chr(10)
+    (FIXTURES.md pattern). Gate is md5(cleaned_text) — content-exact."""
+    from datavalidation_spark.operators.dedup import paragraph_dedup
+    from datavalidation_spark.operators.text import tokens
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
+    fixture = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * 3 + 1, 3), " "),
+        ),
+        "\n",
+    )
+    derived = docs.select("doc_id", fixture.alias("text"))
+    out = paragraph_dedup(derived, sep="\n")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.round(F.col("n_kept") / F.col("n_lines").cast("double"), 6).alias(
+            "kept_frac"
+        ),
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN in the hard gate via the recall-tolerance pattern (VERDICT r3
     next #6; same shape as td_ok/hll_ok): exact top-5 and IVF top-5 are both
@@ -1689,6 +1735,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_winnow": q_dedup_winnow,
     "corpus_filter": q_corpus_filter,
+    "pack_sequences": q_pack_sequences,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "ann_ivf_topk": q_ann_ivf_topk,
     "physics_model_check": q_physics_model_check,
     "group_topk": q_group_topk,
@@ -2787,6 +2835,80 @@ def oracle_sql() -> dict[str, str]:
                      END AS reason
               FROM scored
             )
+        """,
+        # Sequence packing: the greedy first-fit rule replayed as a
+        # recursive CTE — identical md5 bucket hash, identical doc_id visit
+        # order, identical eff/truncate/new-pack conditions as
+        # operators/packing.py::pack_sequences (capacity=64, n_buckets=8).
+        "pack_sequences": f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 8 AS INT) AS bucket,
+                     len({_TOKS}) AS tok
+              FROM documents
+            ), d AS (
+              SELECT doc_id, bucket,
+                     least(tok, 64) AS eff, tok > 64 AS truncated,
+                     row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+              FROM base
+            ), packed AS (
+              SELECT doc_id, bucket, rn, eff, truncated,
+                     0 AS pack_id, 0 AS pack_offset, eff AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.doc_id, d.bucket, d.rn, d.eff, d.truncated,
+                     CASE WHEN p.fill + d.eff > 64 THEN p.pack_id + 1 ELSE p.pack_id END,
+                     CASE WHEN p.fill + d.eff > 64 THEN 0 ELSE CAST(p.fill AS INT) END,
+                     CASE WHEN p.fill + d.eff > 64 THEN d.eff ELSE p.fill + d.eff END
+              FROM packed p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+            )
+            SELECT doc_id, bucket,
+                   CAST(pack_id AS INT) AS pack_id,
+                   CAST(pack_offset AS INT) AS pack_offset,
+                   CAST(eff AS INT) AS eff_tokens,
+                   truncated
+            FROM packed
+        """,
+        # Paragraph dedup: same derived 3-token lines, first-occurrence
+        # winner per paragraph by (doc_id, pos), survivors reassembled in
+        # original order; md5 of the cleaned text is the content-exact gate.
+        "dedup_paragraphs": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), lines AS (
+              SELECT doc_id, u.pos, u.line
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(0, CAST(ceil(len(t) / 3.0) AS BIGINT)),
+                         i -> struct_pack(pos := i,
+                                          line := array_to_string(t[(i*3+1):(i*3+3)], ' '))
+                       )) AS u
+                FROM toks
+              )
+            ), winners AS (
+              SELECT doc_id, pos, line
+              FROM (
+                SELECT doc_id, pos, line,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, pos) AS rnk
+                FROM lines
+              ) WHERE rnk = 1
+            ), kept AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     md5(string_agg(line, chr(10) ORDER BY pos)) AS cleaned_md5
+              FROM winners GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_lines AS INT) AS n_lines,
+                   CAST(coalesce(k.n_kept, 0) AS INT) AS n_kept,
+                   round(coalesce(k.n_kept, 0) / CAST(t.n_lines AS DOUBLE), 6)
+                       AS kept_frac,
+                   coalesce(k.cleaned_md5, md5('')) AS cleaned_md5
+            FROM tot t LEFT JOIN kept k USING (doc_id)
         """,
         # Winnowing: transcribes winnow_fingerprints/winnow_dup_pairs step
         # by step — same k-gram md5s (k=4), same w=4 sliding minima with the

@@ -516,3 +516,64 @@ def winnow_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_common)
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level paragraph dedup (CCNet / RefinedWeb style, public
+    algorithm — Wenzek et al. arXiv:1911.00359 §3.1, Penedo et al.
+    arXiv:2306.01116 §3.3): split every document into paragraphs, keep only
+    the FIRST occurrence of each paragraph across the whole corpus
+    (ordered by ``(doc_id, position)``), and reassemble the surviving
+    paragraphs per document in their original order.
+
+    100-TB shape: the global first-occurrence winner per paragraph is ONE
+    map-side-combinable aggregation keyed on ``md5(paragraph)`` —
+    ``min(struct(doc_id, pos, line))`` — so the shuffle carries one digest
+    + winner struct per distinct paragraph (not every duplicate), and no
+    window over raw text is needed. Reassembly is a second groupBy on
+    ``doc_id``. Two shuffles total, both key-only; text travels the wire
+    once for winners, never for losers.
+
+    Returns one row per input doc: ``doc_id, n_lines, n_kept,
+    cleaned_text`` (empty string when every paragraph lost).
+    """
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    lines = base.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), sep)).alias("pos", "line"),
+    )
+    # first occurrence of each paragraph across the corpus: min over the
+    # (doc_id, pos, line) struct — (doc_id, pos) is unique so the struct
+    # order is total and `line` rides along for free
+    winners = (
+        lines.groupBy(F.md5("line").alias("dg"))
+        .agg(F.min(F.struct("doc_id", "pos", "line")).alias("w"))
+        .select(F.col("w.doc_id"), F.col("w.pos"), F.col("w.line"))
+    )
+    kept = winners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("cleaned_text"),
+    )
+    totals = base.select("doc_id", F.size(F.split(F.col("text"), sep)).alias("n_lines"))
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -1,0 +1,110 @@
+"""Sequence packing (operators/packing.py) and corpus paragraph dedup
+(operators/dedup.py::paragraph_dedup) unit tests — invariants the DuckDB
+contract oracle can't see from the outside: pack fills never exceed
+capacity, offsets are contiguous, Arrow batch boundaries don't reset
+packing state, and paragraph survivors are exactly first occurrences."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datavalidation_spark.operators.dedup import paragraph_dedup
+from datavalidation_spark.operators.packing import (
+    default_buckets,
+    pack_sequences,
+    pack_stats,
+)
+
+CAP = 50
+
+
+def _docs(spark, n=200):
+    # token counts 5..104: some docs exceed CAP=50 (truncation branch),
+    # most co-pack
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("id") % 100 + 5).cast("int")),
+                lambda i: F.concat(F.lit("w"), i.cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def test_pack_invariants(spark):
+    docs = _docs(spark)
+    packed = pack_sequences(docs, capacity=CAP, n_buckets=4).cache()
+    rows = packed.orderBy("bucket", "pack_id", "pack_offset").collect()
+    assert len(rows) == 200
+    # replay: per (bucket, pack) offsets contiguous, fill <= capacity
+    fill: dict[tuple, int] = {}
+    for r in rows:
+        key = (r.bucket, r.pack_id)
+        assert r.eff_tokens <= CAP
+        if r.truncated:  # over-long doc: truncated to one full pack, alone
+            assert r.eff_tokens == CAP and r.pack_offset == 0
+        assert r.pack_offset == fill.get(key, 0), r
+        fill[key] = r.pack_offset + r.eff_tokens
+        assert fill[key] <= CAP
+    st = pack_stats(packed, CAP).collect()
+    assert all(s.fill_ratio <= 1.0 for s in st)
+    assert sum(s.n_docs for s in st) == 200
+    # truncated docs occupy a pack alone at exactly capacity
+    for s in st:
+        if s.any_truncated:
+            assert s.n_docs == 1 and s.used_tokens == CAP
+    packed.unpersist()
+
+
+def test_pack_batch_boundary_state(spark):
+    """One bucket split across many tiny Arrow batches must pack exactly
+    like one big batch (state carried across the mapInPandas iterator)."""
+    docs = _docs(spark, 150)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        tiny = pack_sequences(docs, capacity=CAP, n_buckets=1).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    big = pack_sequences(docs, capacity=CAP, n_buckets=1).collect()
+    key = lambda r: r.doc_id
+    assert sorted(map(tuple, tiny), key=lambda t: t[0]) == sorted(
+        map(tuple, big), key=lambda t: t[0]
+    )
+
+
+def test_default_buckets_scales():
+    assert default_buckets(100) == 1
+    assert default_buckets(4097) == 2
+    assert default_buckets(10**12) == 244140625  # docs/bucket stays ~4096
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta\nalpha"),  # beta+alpha lose to doc 1
+            (3, "gamma\nbeta"),  # everything lost
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert out[1].n_kept == 3 and out[1].cleaned_text == "alpha\nbeta\ngamma"
+    assert out[2].n_kept == 1 and out[2].cleaned_text == "delta"
+    assert out[3].n_kept == 0 and out[3].cleaned_text == ""
+    assert out[3].n_lines == 2
+
+
+def test_paragraph_dedup_idempotent(spark):
+    """Dedup of a deduped corpus removes nothing further."""
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc\nc")], "doc_id long, text string"
+    )
+    once = paragraph_dedup(docs).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    twice = {r.doc_id: r for r in paragraph_dedup(once).collect()}
+    assert twice[1].n_kept == twice[1].n_lines == 2  # "a\nb" survives whole
+    assert twice[2].cleaned_text == "c" and twice[2].n_kept == 1
