@@ -1304,6 +1304,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, capacity=64, n_buckets=8, seed="pack")
 
 
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set shuffle + sharding (operators/packing.py::shard_packs):
+    packs from pack_sequences get a portable-md5 shard and an md5-rank
+    position within the shard — the deterministic corpus shuffle a
+    training run consumes, with no global sort (per-shard windows only)."""
+    from datavalidation_spark.operators.packing import pack_sequences, shard_packs
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    packed = pack_sequences(docs, capacity=64, n_buckets=8, seed="pack")
+    return shard_packs(packed, capacity=64, n_shards=4, seed="shard")
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level paragraph dedup (operators/dedup.py::paragraph_dedup,
     CCNet/RefinedWeb style): keep each paragraph's FIRST corpus occurrence
@@ -1736,6 +1748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_winnow": q_dedup_winnow,
     "corpus_filter": q_corpus_filter,
     "pack_sequences": q_pack_sequences,
+    "pack_shards": q_pack_shards,
     "dedup_paragraphs": q_dedup_paragraphs,
     "ann_ivf_topk": q_ann_ivf_topk,
     "physics_model_check": q_physics_model_check,
@@ -1813,6 +1826,33 @@ _DOC_FIRE_COUNT = " + ".join(
 
 
 _TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+# Greedy sequence packing replayed as a recursive CTE (shared by the
+# pack_sequences and pack_shards oracles): identical md5 bucket hash,
+# doc_id visit order, and eff/truncate/new-pack rule as
+# operators/packing.py::pack_sequences with capacity=64, n_buckets=8.
+_PACK_CTE = """base AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 8 AS INT) AS bucket,
+                     len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+              FROM documents
+            ), d AS (
+              SELECT doc_id, bucket,
+                     least(tok, 64) AS eff, tok > 64 AS truncated,
+                     row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+              FROM base
+            ), packed AS (
+              SELECT doc_id, bucket, rn, eff, truncated,
+                     0 AS pack_id, 0 AS pack_offset, eff AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.doc_id, d.bucket, d.rn, d.eff, d.truncated,
+                     CASE WHEN p.fill + d.eff > 64 THEN p.pack_id + 1 ELSE p.pack_id END,
+                     CASE WHEN p.fill + d.eff > 64 THEN 0 ELSE CAST(p.fill AS INT) END,
+                     CASE WHEN p.fill + d.eff > 64 THEN d.eff ELSE p.fill + d.eff END
+              FROM packed p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+            )"""
 _STOPWORDS_SQL = "'the','and','of','to','a','in','is','it','this','that','for','on','with','as'"
 _PROFILES_SQL = {
     "en": "'the','and','of','to','a','in','is','it'",
@@ -2841,34 +2881,37 @@ def oracle_sql() -> dict[str, str]:
         # order, identical eff/truncate/new-pack conditions as
         # operators/packing.py::pack_sequences (capacity=64, n_buckets=8).
         "pack_sequences": f"""
-            WITH RECURSIVE base AS (
-              SELECT doc_id,
-                     CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                          % 8 AS INT) AS bucket,
-                     len({_TOKS}) AS tok
-              FROM documents
-            ), d AS (
-              SELECT doc_id, bucket,
-                     least(tok, 64) AS eff, tok > 64 AS truncated,
-                     row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
-              FROM base
-            ), packed AS (
-              SELECT doc_id, bucket, rn, eff, truncated,
-                     0 AS pack_id, 0 AS pack_offset, eff AS fill
-              FROM d WHERE rn = 1
-              UNION ALL
-              SELECT d.doc_id, d.bucket, d.rn, d.eff, d.truncated,
-                     CASE WHEN p.fill + d.eff > 64 THEN p.pack_id + 1 ELSE p.pack_id END,
-                     CASE WHEN p.fill + d.eff > 64 THEN 0 ELSE CAST(p.fill AS INT) END,
-                     CASE WHEN p.fill + d.eff > 64 THEN d.eff ELSE p.fill + d.eff END
-              FROM packed p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
-            )
+            WITH RECURSIVE {_PACK_CTE}
             SELECT doc_id, bucket,
                    CAST(pack_id AS INT) AS pack_id,
                    CAST(pack_offset AS INT) AS pack_offset,
                    CAST(eff AS INT) AS eff_tokens,
                    truncated
             FROM packed
+        """,
+        # Pack sharding: per-pack stats + portable md5 shard + md5-rank
+        # position within shard — same hash family and tie-breaks as
+        # operators/packing.py::shard_packs (n_shards=4 at gate SFs).
+        "pack_shards": f"""
+            WITH RECURSIVE {_PACK_CTE}, stats AS (
+              SELECT bucket, pack_id,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(eff) AS BIGINT) AS used_tokens,
+                     round(sum(eff) / 64.0, 6) AS fill_ratio
+              FROM packed GROUP BY bucket, pack_id
+            ), ranked AS (
+              SELECT *,
+                     ('0x' || substr(md5('shard|' || bucket::VARCHAR || ':'
+                          || pack_id::VARCHAR), 1, 8))::BIGINT AS rank
+              FROM stats
+            )
+            SELECT bucket, CAST(pack_id AS INT) AS pack_id, n_docs,
+                   used_tokens, fill_ratio,
+                   CAST(rank % 4 AS INT) AS shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY rank % 4
+                       ORDER BY rank, bucket, pack_id) AS INT) AS pos_in_shard
+            FROM ranked
         """,
         # Paragraph dedup: same derived 3-token lines, first-occurrence
         # winner per paragraph by (doc_id, pos), survivors reassembled in

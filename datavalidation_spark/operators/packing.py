@@ -133,3 +133,46 @@ def pack_stats(packed: DataFrame, capacity: int) -> DataFrame:
             "fill_ratio", F.round(F.col("used_tokens") / F.lit(float(capacity)), 6)
         )
     )
+
+
+def shard_packs(
+    packed: DataFrame,
+    capacity: int,
+    n_shards: int = 64,
+    seed: str = "shard",
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding of packed sequences — the
+    write-side of training-data prep: each pack gets a pseudo-random shard
+    (portable md5 hash of its key) and a position within that shard
+    (md5-rank order), i.e. the global shuffle a training run needs without
+    ever doing a global sort.
+
+    100-TB shape: the shuffle is ONE hash repartition by shard; the
+    position is a per-shard window (each shard sorts independently — no
+    single-partition global window). Rows here are pack-level (orders of
+    magnitude fewer than docs), and shard count scales with corpus size so
+    per-shard sorts stay bounded.
+    """
+    from .sampling import hash_rank as _rank
+
+    key = F.concat_ws(":", F.col("bucket"), F.col("pack_id"))
+    stats = pack_stats(packed, capacity).withColumn(
+        "rank", _rank(key, salt=seed)
+    )
+    shard = F.pmod(F.col("rank"), F.lit(n_shards)).cast("int")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("rank", "bucket", "pack_id")
+    return (
+        stats.withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .select(
+            "bucket",
+            "pack_id",
+            "n_docs",
+            "used_tokens",
+            "fill_ratio",
+            "shard",
+            "pos_in_shard",
+        )
+    )

@@ -108,3 +108,22 @@ def test_paragraph_dedup_idempotent(spark):
     twice = {r.doc_id: r for r in paragraph_dedup(once).collect()}
     assert twice[1].n_kept == twice[1].n_lines == 2  # "a\nb" survives whole
     assert twice[2].cleaned_text == "c" and twice[2].n_kept == 1
+
+
+def test_shard_packs_positions_and_determinism(spark):
+    from datavalidation_spark.operators.packing import shard_packs
+
+    docs = _docs(spark)
+    packed = pack_sequences(docs, capacity=CAP, n_buckets=4).localCheckpoint()
+    a = shard_packs(packed, capacity=CAP, n_shards=3).collect()
+    b = shard_packs(packed, capacity=CAP, n_shards=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    # positions within each shard are 1..n with no gaps
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    assert set(by_shard) <= {0, 1, 2}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # every pack appears exactly once
+    assert len(a) == packed.select("bucket", "pack_id").distinct().count()
