@@ -94,3 +94,44 @@ def test_pack_stream_pack_straddles_boundary(spark, tmp_path):
         (0, 40),  # fills the pack exactly (40+10 == capacity)
         (1, 0),  # 50+10 > 50 → new pack
     ]
+
+
+def test_pack_stream_resumes_across_restart(spark, tmp_path):
+    """The open pack survives a full query RESTART (state-store recovery
+    from checkpoint), not just a micro-batch boundary: batch written after
+    the first availableNow run completes lands in the pack the first run
+    left open."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(6)], "doc_id long, text string"
+    )
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir)
+
+    def run_once():
+        src = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(in_dir + "/b*/")
+        )
+        q = (
+            pack_stream(src, capacity=CAP, n_buckets=1)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(300)
+
+    docs.where("doc_id < 3").coalesce(1).write.parquet(f"{in_dir}/b0")
+    run_once()  # first query: docs 0-2 → pack 0, fill 30
+    docs.where("doc_id >= 3").coalesce(1).write.parquet(f"{in_dir}/b1")
+    run_once()  # restarted query recovers (pack_id=0, fill=30) from ckpt
+    out = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert [(out[i].pack_id, out[i].pack_offset) for i in range(6)] == [
+        (0, 0), (0, 10), (0, 20),
+        (0, 30), (0, 40),  # continue the recovered open pack
+        (1, 0),
+    ]
