@@ -176,3 +176,41 @@ def shard_packs(
             "pos_in_shard",
         )
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    packed: DataFrame,
+    shards: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_records_per_file: int = 0,
+) -> str:
+    """Materialize the final training artifact: a parquet directory
+    partitioned by ``shard``, each shard's rows stored in consumption order
+    (``pos_in_shard`` of the pack, then ``pack_offset`` within the pack) so
+    a training reader streams a shard file sequentially with no sort.
+
+    100-TB shape: document text travels exactly ONE shuffle (hash
+    repartition by shard); ordering is sortWithinPartitions — a per-task
+    sort, never a global one; file sizes are bounded with
+    ``maxRecordsPerFile`` instead of more partitions, so shard count (and
+    the reader's addressing scheme) stays decoupled from file sizing.
+    """
+    asg = packed.join(
+        shards.select("bucket", "pack_id", "shard", "pos_in_shard"),
+        ["bucket", "pack_id"],
+    )
+    rows = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    ).join(asg, "doc_id")
+    writer = (
+        rows.repartition("shard")
+        .sortWithinPartitions("shard", "pos_in_shard", "pack_offset")
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("shard").parquet(out_dir)
+    return out_dir

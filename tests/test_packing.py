@@ -127,3 +127,82 @@ def test_shard_packs_positions_and_determinism(spark):
         assert sorted(poss) == list(range(1, len(poss) + 1))
     # every pack appears exactly once
     assert len(a) == packed.select("bucket", "pack_id").distinct().count()
+
+
+def test_pack_property_matches_pure_python_replay(spark):
+    """Hypothesis: for random token counts and capacities, the distributed
+    packer matches a serial pure-Python replay of the packing rule."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
+        capacity=st.integers(min_value=1, max_value=25),
+    )
+    def run(toks, capacity):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens int"
+        )
+        got = {
+            r.doc_id: (r.bucket, r.pack_id, r.pack_offset, r.eff_tokens, r.truncated)
+            for r in pack_sequences(
+                docs, capacity=capacity, n_buckets=2, n_tokens=F.col("n_tokens")
+            ).collect()
+        }
+        # serial replay: same hash bucket, same doc_id order, same rule
+        from datavalidation_spark.operators.sampling import hash_rank  # noqa: F401
+        import hashlib
+
+        def bucket_of(i):
+            h = hashlib.md5(f"pack|{i}".encode()).hexdigest()
+            return int(h[:8], 16) % 2
+
+        state = {}
+        for i, t in enumerate(toks):  # doc_id order == enumerate order
+            b = bucket_of(i)
+            pack_id, fill = state.get(b, (-1, capacity + 1))
+            eff = min(t, capacity)
+            if fill + eff > capacity:
+                pack_id, fill = pack_id + 1, 0
+            assert got[i] == (b, pack_id, fill, eff, t > capacity), (
+                i, t, capacity, got[i], (b, pack_id, fill, eff),
+            )
+            state[b] = (pack_id, fill + eff)
+
+    run()
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """The written artifact is partitioned by shard and each shard file's
+    physical row order is (pos_in_shard, pack_offset) — a training reader
+    streams it sequentially with no sort."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datavalidation_spark.operators.packing import (
+        shard_packs,
+        write_training_shards,
+    )
+
+    docs = _docs(spark, 120).localCheckpoint()
+    packed = pack_sequences(docs, capacity=CAP, n_buckets=4).localCheckpoint()
+    shards = shard_packs(packed, capacity=CAP, n_shards=3).localCheckpoint()
+    out = write_training_shards(docs, packed, shards, str(tmp_path / "shards"))
+
+    shard_dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(shard_dirs) == shards.select("shard").distinct().count()
+    seen = 0
+    for d in shard_dirs:
+        tbl = pq.read_table(d)  # preserves physical row order
+        pdf = tbl.to_pandas()
+        seen += len(pdf)
+        key = list(zip(pdf["pos_in_shard"], pdf["pack_offset"]))
+        assert key == sorted(key), f"unsorted rows in {d}"
+        assert pdf["text"].notna().all()
+    assert seen == 120  # every doc written exactly once
