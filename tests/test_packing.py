@@ -206,3 +206,25 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         assert key == sorted(key), f"unsorted rows in {d}"
         assert pdf["text"].notna().all()
     assert seen == 120  # every doc written exactly once
+
+
+def test_pack_plan_shuffles_ints_only(spark, sf001):
+    """Scale contract: the packing exchange must carry only
+    (doc_id, n_tokens, bucket) ints — document text must be projected away
+    BEFORE the repartition, never ride the shuffle."""
+    docs = sf001["documents"]
+    plan = (
+        pack_sequences(docs, capacity=64, n_buckets=8)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    # the pandas stage consumes only the three int columns
+    assert "_pack_partition(doc_id" in lines[0] and "text#" not in lines[0]
+    # the Exchange's child is the Project that computes n_tokens/bucket and
+    # drops text — so the shuffle carries (doc_id, n_tokens, bucket) only
+    (ex_i,) = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    child = lines[ex_i + 1]
+    assert child.lstrip(" +-").startswith("Project [doc_id#"), child
+    assert "AS n_tokens" in child and "AS bucket" in child
