@@ -36,6 +36,7 @@ from typing import Iterable
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .sampling import hash_rank
 from .text import token_count_ws
@@ -153,15 +154,11 @@ def shard_packs(
     magnitude fewer than docs), and shard count scales with corpus size so
     per-shard sorts stay bounded.
     """
-    from .sampling import hash_rank as _rank
-
     key = F.concat_ws(":", F.col("bucket"), F.col("pack_id"))
     stats = pack_stats(packed, capacity).withColumn(
-        "rank", _rank(key, salt=seed)
+        "rank", hash_rank(key, salt=seed)
     )
     shard = F.pmod(F.col("rank"), F.lit(n_shards)).cast("int")
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("shard").orderBy("rank", "bucket", "pack_id")
     return (
         stats.withColumn("shard", shard)
@@ -192,11 +189,14 @@ def write_training_shards(
     (``pos_in_shard`` of the pack, then ``pack_offset`` within the pack) so
     a training reader streams a shard file sequentially with no sort.
 
-    100-TB shape: document text travels exactly ONE shuffle (hash
-    repartition by shard); ordering is sortWithinPartitions — a per-task
-    sort, never a global one; file sizes are bounded with
-    ``maxRecordsPerFile`` instead of more partitions, so shard count (and
-    the reader's addressing scheme) stays decoupled from file sizing.
+    100-TB shape: document text travels exactly TWO shuffles — once into
+    the assignment join (hash by doc_id) and once into shard grouping —
+    which is the minimum for an assign-then-regroup on different keys; the
+    assignment side itself (packed ⋈ shards) shuffles only int columns.
+    Ordering is sortWithinPartitions — a per-task sort, never a global
+    one; file sizes are bounded with ``maxRecordsPerFile`` instead of more
+    partitions, so shard count (and the reader's addressing scheme) stays
+    decoupled from file sizing.
     """
     asg = packed.join(
         shards.select("bucket", "pack_id", "shard", "pos_in_shard"),

@@ -155,7 +155,6 @@ def test_pack_property_matches_pure_python_replay(spark):
             ).collect()
         }
         # serial replay: same hash bucket, same doc_id order, same rule
-        from datavalidation_spark.operators.sampling import hash_rank  # noqa: F401
         import hashlib
 
         def bucket_of(i):
