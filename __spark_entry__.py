@@ -1451,6 +1451,21 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling (operators/sampling.py::sample_token_budget):
+    per lang, keep docs in md5-rank order until the domain's TOKEN budget
+    (en 5000, others 2000) is exhausted — the unit a pretraining mixture
+    is specified in. The Spark side runs the scale path (4096 rank-bucket
+    prefix sums + bounded per-bucket windows); the oracle is the naive
+    per-domain cumsum the bucketing is provably equal to."""
+    from datavalidation_spark.operators.sampling import sample_token_budget
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return sample_token_budget(
+        docs, {"en": 5000}, default_budget=2000, salt="budget"
+    ).select("doc_id", "lang", "cum_tokens")
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (pure-codegen regexp_count/replace chain,
     no UDF): the fixture plants one email / SSN / phone / IPv4 per document
@@ -1769,6 +1784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_fraction": q_sample_fraction,
     "sample_stratified": q_sample_stratified,
     "sample_mixture": q_sample_mixture,
+    "sample_token_budget": q_sample_token_budget,
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
     "decontaminate_spans": q_decontaminate_spans,
@@ -2762,6 +2778,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, d.lang FROM documents d JOIN plan USING (lang)
             WHERE ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                   < floor(keep * 4294967296.0)
+        """,
+        # Token-budget sampling: the naive per-domain ordered cumsum the
+        # Spark side's rank-bucket decomposition is provably equal to
+        # (bucket id is monotone in rank; (rank, doc_id) is a total order).
+        "sample_token_budget": f"""
+            WITH t AS (
+              SELECT doc_id, lang, len({_TOKS}) AS tok,
+                     ('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         AS rank
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang,
+                     sum(tok) OVER (PARTITION BY lang ORDER BY rank, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_tokens
+            FROM c
+            WHERE cum <= CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END
         """,
         "pii_redact": _pii_oracle_sql(),
         # Decontamination: word 4-grams via the shared _TOKS tokenizer;

@@ -23,6 +23,8 @@ Scale shape:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -158,3 +160,75 @@ def sample_mixture(
         )
         .drop("_keep")
     )
+
+
+def sample_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "lang",
+    key_col: str = "doc_id",
+    n_tokens: Column | None = None,
+    salt: str = "budget",
+    default_budget: int = 0,
+    n_rank_buckets: int = 4096,
+) -> DataFrame:
+    """Token-budget sampling: per domain, keep documents in deterministic
+    md5-rank order until the domain's TOKEN budget is exhausted ("sample
+    50B tokens of code, 20B of forums" — the unit a pretraining mixture is
+    actually specified in, vs the row-count mixtures of
+    :func:`sample_mixture`).
+
+    Semantics (shared verbatim with the oracle): within a domain, order by
+    ``(hash_rank(key), key)``; keep a doc iff the running INCLUSIVE token
+    sum up to it is <= the domain budget (prefix rule — one over-budget doc
+    blocks everything after it in rank order, so the kept set is a pure
+    function of the corpus and budgets).
+
+    100-TB shape: a naive per-domain ordered cumsum is one window partition
+    per domain — a single reducer sorting 10^11 rows for a hot domain.
+    Instead the rank space is cut into ``n_rank_buckets`` fixed slices
+    (rank >> 20 for 4096): (1) a bucket-level token-sum aggregation
+    (map-side combined; output is |domains|x4096 rows) gives each bucket
+    its exclusive prefix ``cum_before`` via a window over the TINY bucket
+    table; (2) the only row-level window runs per (domain, rank-bucket) —
+    each partition is ~1/4096 of a domain, bounded and skew-free because
+    ranks are uniform md5 hashes. Total: one tiny shuffle + one bounded
+    window shuffle; equality with the naive cumsum is exact because bucket
+    id is monotone in rank.
+
+    Returns the kept rows plus ``cum_tokens`` (the inclusive running sum —
+    auditable against the budget).
+    """
+    if n_tokens is None:
+        from .text import token_count_ws
+
+        n_tokens = token_count_ws(F.col("text"))
+    budget_expr = F.lit(default_budget)
+    for dom, b in budgets.items():
+        budget_expr = F.when(F.col(domain_col) == dom, F.lit(b)).otherwise(
+            budget_expr
+        )
+    base = df.withColumn("_tok", n_tokens.cast("long")).withColumn(
+        "_rank", hash_rank(F.col(key_col), salt)
+    )
+    # 2^32 rank space >> 20 bits = 4096 fixed slices (monotone in rank)
+    shift = 32 - int(math.log2(n_rank_buckets))
+    base = base.withColumn("_rb", F.shiftright("_rank", shift).cast("int"))
+
+    bucket_sums = base.groupBy(domain_col, "_rb").agg(
+        F.sum("_tok").alias("_btok")
+    )
+    wb = Window.partitionBy(domain_col).orderBy("_rb")
+    cum_before = bucket_sums.withColumn(
+        "_cum_before", F.coalesce(F.sum("_btok").over(wb), F.lit(0)) - F.col("_btok")
+    ).select(domain_col, "_rb", "_cum_before")
+
+    wr = Window.partitionBy(domain_col, "_rb").orderBy("_rank", key_col)
+    out = (
+        base.join(F.broadcast(cum_before), [domain_col, "_rb"])
+        .withColumn("_cum_in", F.sum("_tok").over(wr))
+        .withColumn("cum_tokens", F.col("_cum_before") + F.col("_cum_in"))
+        .where(F.col("cum_tokens") <= budget_expr)
+        .drop("_tok", "_rank", "_rb", "_btok", "_cum_before", "_cum_in")
+    )
+    return out

@@ -179,3 +179,68 @@ def test_sample_stratified_prefilter_preserves_winners(spark, sf001):
     assert sorted((r["doc_id"], r["sample_rank"]) for r in plain) == sorted(
         (r["doc_id"], r["sample_rank"]) for r in thin
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget sampling
+# ---------------------------------------------------------------------------
+
+
+def _tb_naive(rows, budgets, default=0):
+    """Serial oracle: per domain, rank order, inclusive prefix <= budget."""
+    ranked = sorted(
+        rows,
+        key=lambda r: (
+            int(hashlib.md5(f"budget|{r[0]}".encode()).hexdigest()[:8], 16),
+            r[0],
+        ),
+    )
+    cum: dict[str, int] = {}
+    kept = {}
+    for doc_id, dom, tok in ranked:
+        cum[dom] = cum.get(dom, 0) + tok
+        if cum[dom] <= budgets.get(dom, default):
+            kept[doc_id] = cum[dom]
+    return kept
+
+
+def test_sample_token_budget_matches_naive(spark):
+    from datavalidation_spark.operators.sampling import sample_token_budget
+
+    rng = random.Random(7)
+    rows = [
+        (i, ["a", "b", "c"][i % 3], rng.randint(1, 40)) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in sample_token_budget(
+            df,
+            {"a": 900, "b": 400},
+            default_budget=150,
+            n_tokens=F.col("n_tokens"),
+            # few buckets → many docs per bucket AND many buckets per
+            # domain: both halves of the decomposition carry weight
+            n_rank_buckets=16,
+        ).collect()
+    }
+    assert got == _tb_naive(rows, {"a": 900, "b": 400}, default=150)
+    assert got, "budgets should keep something"
+
+
+def test_sample_token_budget_edges(spark):
+    from datavalidation_spark.operators.sampling import sample_token_budget
+
+    df = spark.createDataFrame(
+        [(i, "x", 10) for i in range(20)], "doc_id long, lang string, n_tokens int"
+    )
+    # budget 0 → nothing; budget >= total → everything, cum audit correct
+    assert (
+        sample_token_budget(df, {}, default_budget=0, n_tokens=F.col("n_tokens")).count()
+        == 0
+    )
+    allkept = sample_token_budget(
+        df, {"x": 10_000}, n_tokens=F.col("n_tokens")
+    ).collect()
+    assert len(allkept) == 20
+    assert max(r.cum_tokens for r in allkept) == 200
