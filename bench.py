@@ -47,7 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 DOCS_PER_SF = 2_000_000  # docs at SF 1.0 → 200k at sf0.1
 
 
-def _wait_for_quiet_host(max_wait: int = 300) -> float:
+def _wait_for_quiet_host(max_wait: int = 180) -> float:
     """Bounded wait for 1-min loadavg < 1.0 (same gate as scaling_bench.py).
 
     Returns the loadavg observed when the gate released — recorded in the
@@ -82,8 +82,12 @@ def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # headline: min of 3; per-query loop: min of 2 — with 62 contract
+    # queries a third timed run adds ~80 s for little extra tail rejection
+    # (warmup already absorbs compile), and the whole bench must stay
+    # comfortably inside one driver invocation
     k = max(int(os.environ.get("SPARK_GRAFT_BENCH_K", "3")), 1)
-    qk = max(int(os.environ.get("SPARK_GRAFT_BENCH_QK", "3")), 1)
+    qk = max(int(os.environ.get("SPARK_GRAFT_BENCH_QK", "2")), 1)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     n_docs = max(int(DOCS_PER_SF * sf), 10_000)
