@@ -577,3 +577,67 @@ def paragraph_dedup(
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def build_digest_index(
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's canonical-digest index as a BUCKETED table
+    (one row per distinct content digest, keeper = smallest id) — the
+    standing index an ingestion pipeline dedups every incoming batch
+    against.
+
+    100-TB shape: bucketing on ``digest`` amortizes the index's shuffle
+    into this one write; every later :func:`incremental_dedup` join reads
+    the index's buckets in place (zero Exchange on the index side — at
+    10^12 digests, the side that must never shuffle again), while only the
+    small incoming batch is exchanged to match the bucket layout.
+    """
+    from datavalidation_spark.sources.bucketed import write_bucketed
+
+    idx = (
+        docs.select(
+            canonical_digest(F.col(text_col)).alias("digest"),
+            F.col(id_col).cast("long").alias("keeper_id"),
+        )
+        .groupBy("digest")
+        .agg(F.min("keeper_id").alias("keeper_id"))
+    )
+    write_bucketed(
+        idx, table, ["digest"], n_buckets=n_buckets, sort_cols=["digest"],
+        path=path, mode=mode,
+    )
+
+
+def incremental_dedup(
+    spark,
+    new_docs: DataFrame,
+    index_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup an incoming batch against the persisted digest index: one row
+    per new doc with ``is_new`` (content never seen) and ``keeper_id`` (the
+    canonical holder when seen). Join strategy: left join onto the bucketed
+    index — Spark exchanges only the batch side to the index's bucket
+    layout; the index itself is scanned in place (asserted on the physical
+    plan in tests/test_incremental_dedup.py)."""
+    from datavalidation_spark.sources.bucketed import read_bucketed
+
+    nd = new_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        canonical_digest(F.col(text_col)).alias("digest"),
+    )
+    idx = read_bucketed(spark, index_table)
+    return nd.join(idx, "digest", "left").select(
+        "doc_id",
+        "digest",
+        F.col("keeper_id").isNull().alias("is_new"),
+        "keeper_id",
+    )
