@@ -615,6 +615,44 @@ def build_digest_index(
     )
 
 
+def update_digest_index(
+    spark,
+    new_docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> None:
+    """Fold a batch's NEW content into the standing digest index — the
+    safe append protocol: digests already present are anti-joined away
+    first, so the one-row-per-digest / keeper=smallest-id invariants hold
+    after every fold (a raw ``build_digest_index(..., mode='append')``
+    would duplicate already-indexed digests and make
+    :func:`incremental_dedup` emit multiple rows per matching doc).
+
+    Single-writer assumption: two concurrent folds can both see a digest
+    as new and both insert it. Serialize folds per index (they are batch
+    boundaries in an ingest pipeline anyway), or route commits through
+    ``engine/acid.py`` when multiple writers are possible.
+    """
+    from datavalidation_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    idx = read_bucketed(spark, table)
+    fresh = (
+        new_docs.select(
+            canonical_digest(F.col(text_col)).alias("digest"),
+            F.col(id_col).cast("long").alias("keeper_id"),
+        )
+        .groupBy("digest")
+        .agg(F.min("keeper_id").alias("keeper_id"))
+        .join(idx.select("digest"), "digest", "left_anti")
+    )
+    write_bucketed(
+        fresh, table, ["digest"], n_buckets=n_buckets, sort_cols=["digest"],
+        mode="append",
+    )
+
+
 def incremental_dedup(
     spark,
     new_docs: DataFrame,

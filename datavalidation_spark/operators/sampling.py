@@ -23,8 +23,6 @@ Scale shape:
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -192,9 +190,17 @@ def sample_token_budget(
     its exclusive prefix ``cum_before`` via a window over the TINY bucket
     table; (2) the only row-level window runs per (domain, rank-bucket) —
     each partition is ~1/4096 of a domain, bounded and skew-free because
-    ranks are uniform md5 hashes. Total: one tiny shuffle + one bounded
-    window shuffle; equality with the naive cumsum is exact because bucket
-    id is monotone in rank.
+    ranks are uniform md5 hashes. Total: one tiny aggregation shuffle + one
+    bounded window shuffle; equality with the naive cumsum is exact because
+    bucket id is monotone in rank. Cost caveat: the input is SCANNED TWICE
+    (the bucket-sum aggregation and the join+window are separate passes
+    over ``df``) — pre-persist the input, or feed a cheap projected scan,
+    when the second pass matters.
+
+    NULL handling: a NULL domain falls under ``default_budget`` (grouped
+    internally via a sentinel so the join keeps the rows); NULL token
+    counts count as 0 (the row is admitted if the running sum allows,
+    matching the window-sum null-skip and the streaming twin).
 
     Returns the kept rows plus ``cum_tokens`` (the inclusive running sum —
     auditable against the budget).
@@ -203,32 +209,40 @@ def sample_token_budget(
         from .text import token_count_ws
 
         n_tokens = token_count_ws(F.col("text"))
+    if n_rank_buckets < 1:
+        raise ValueError(f"n_rank_buckets must be >= 1, got {n_rank_buckets}")
     budget_expr = F.lit(default_budget)
     for dom, b in budgets.items():
         budget_expr = F.when(F.col(domain_col) == dom, F.lit(b)).otherwise(
             budget_expr
         )
-    base = df.withColumn("_tok", n_tokens.cast("long")).withColumn(
-        "_rank", hash_rank(F.col(key_col), salt)
+    base = (
+        df.withColumn("_tok", F.coalesce(n_tokens.cast("long"), F.lit(0)))
+        .withColumn("_rank", hash_rank(F.col(key_col), salt))
+        # null-safe internal grouping key: NULL domains must ride the join
+        # (they fall under default_budget), so they group under a sentinel
+        .withColumn(
+            "_dom", F.coalesce(F.col(domain_col).cast("string"), F.lit("\x00"))
+        )
     )
-    # 2^32 rank space >> 20 bits = 4096 fixed slices (monotone in rank)
-    shift = 32 - int(math.log2(n_rank_buckets))
+    # 2^32 rank space >> (32-bits); non-power-of-two bucket counts round UP
+    # so per-bucket partitions never exceed what the caller sized for
+    bits = min((n_rank_buckets - 1).bit_length(), 32) if n_rank_buckets > 1 else 0
+    shift = 32 - bits
     base = base.withColumn("_rb", F.shiftright("_rank", shift).cast("int"))
 
-    bucket_sums = base.groupBy(domain_col, "_rb").agg(
-        F.sum("_tok").alias("_btok")
-    )
-    wb = Window.partitionBy(domain_col).orderBy("_rb")
+    bucket_sums = base.groupBy("_dom", "_rb").agg(F.sum("_tok").alias("_btok"))
+    wb = Window.partitionBy("_dom").orderBy("_rb")
     cum_before = bucket_sums.withColumn(
         "_cum_before", F.coalesce(F.sum("_btok").over(wb), F.lit(0)) - F.col("_btok")
-    ).select(domain_col, "_rb", "_cum_before")
+    ).select("_dom", "_rb", "_cum_before")
 
-    wr = Window.partitionBy(domain_col, "_rb").orderBy("_rank", key_col)
+    wr = Window.partitionBy("_dom", "_rb").orderBy("_rank", key_col)
     out = (
-        base.join(F.broadcast(cum_before), [domain_col, "_rb"])
+        base.join(F.broadcast(cum_before), ["_dom", "_rb"])
         .withColumn("_cum_in", F.sum("_tok").over(wr))
         .withColumn("cum_tokens", F.col("_cum_before") + F.col("_cum_in"))
         .where(F.col("cum_tokens") <= budget_expr)
-        .drop("_tok", "_rank", "_rb", "_btok", "_cum_before", "_cum_in")
+        .drop("_tok", "_rank", "_rb", "_btok", "_cum_before", "_cum_in", "_dom")
     )
     return out

@@ -62,7 +62,15 @@ def _budget_fn(budgets: dict[str, int], default_budget: int):
         if not batches:
             return
         rows = pd.concat(batches).sort_values(["_ord", "doc_id"], kind="mergesort")
-        toks = rows["n_tokens"].to_numpy()
+        # NULL token counts arrive as NaN (pandas widens LongType); they
+        # count as 0 — matching the batch operator's window-sum null skip —
+        # and must not poison the running sum or the int state update
+        toks = (
+            pd.to_numeric(rows["n_tokens"], errors="coerce")
+            .fillna(0)
+            .astype("int64")
+            .to_numpy()
+        )
         cums = cum + toks.cumsum()
         state.update((int(cums[-1]),))
         yield pd.DataFrame(

@@ -98,3 +98,16 @@ def test_budget_stream_quota_survives_boundary(spark, tmp_path):
     assert got[3] == (False, 60)
     # fresh-budget bug would admit doc 4 (20 <= 50) and doc 5
     assert got[4] == (False, 80) and got[5] == (False, 85)
+
+
+def test_budget_stream_null_tokens_do_not_poison_state(spark, tmp_path):
+    """A NULL token count counts as 0 (batch parity) — it must not NaN the
+    running sum or crash the int state update."""
+    b0 = [(1, "x", 20, 1), (2, "x", None, 2), (3, "x", 20, 3)]
+    got = {
+        r.doc_id: (r.admitted, r.cum_tokens, r.n_tokens)
+        for r in _run_stream(spark, tmp_path, [b0], {"x": 50}).collect()
+    }
+    assert got[1] == (True, 20, 20)
+    assert got[2] == (True, 20, 0)  # null → 0 tokens, sum unchanged
+    assert got[3] == (True, 40, 20)

@@ -244,3 +244,47 @@ def test_sample_token_budget_edges(spark):
     ).collect()
     assert len(allkept) == 20
     assert max(r.cum_tokens for r in allkept) == 200
+
+
+def test_sample_token_budget_null_domain_and_null_tokens(spark):
+    """NULL domains fall under default_budget (not silently dropped);
+    NULL token counts count as 0 and never poison the running sum."""
+    from datavalidation_spark.operators.sampling import sample_token_budget
+
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, None), (3, "a", 10), (4, None, 10)],
+        "doc_id long, lang string, n_tokens int",
+    )
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in sample_token_budget(
+            df, {"a": 5}, default_budget=100, n_tokens=F.col("n_tokens")
+        ).collect()
+    }
+    # domain 'a' budget 5 < 10 → doc 3 dropped; all NULL-domain rows kept
+    # under default 100; doc 2's NULL tokens contribute 0 to the sum
+    assert set(got) == {1, 2, 4}
+    assert sum(
+        10 if i != 2 else 0 for i in (1, 2, 4)
+    ) == max(got.values()) == 20
+
+
+def test_sample_token_budget_bucket_count_validation(spark):
+    from datavalidation_spark.operators.sampling import sample_token_budget
+
+    df = spark.createDataFrame(
+        [(i, "x", 10) for i in range(30)], "doc_id long, lang string, n_tokens int"
+    )
+    with pytest.raises(ValueError):
+        sample_token_budget(df, {"x": 100}, n_tokens=F.col("n_tokens"),
+                            n_rank_buckets=0)
+    # non-power-of-two rounds UP (4000 → 4096) and 1 bucket degenerates to
+    # the naive cumsum — both must agree with the power-of-two path
+    a = sample_token_budget(df, {"x": 150}, n_tokens=F.col("n_tokens"),
+                            n_rank_buckets=4000).collect()
+    b = sample_token_budget(df, {"x": 150}, n_tokens=F.col("n_tokens"),
+                            n_rank_buckets=1).collect()
+    c = sample_token_budget(df, {"x": 150}, n_tokens=F.col("n_tokens"),
+                            n_rank_buckets=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) == sorted(map(tuple, c))
+    assert len(a) == 15

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from datavalidation_spark.operators.dedup import (
     build_digest_index,
     incremental_dedup,
+    update_digest_index,
 )
 
 
@@ -45,18 +46,18 @@ def test_incremental_dedup_verdicts_and_index_update(spark, corpus, tmp_path):
         }
         assert got == {10: (False, 1), 11: (True, None), 12: (False, 2)}
 
-        # fold the batch's new content into the index (append keeps the
-        # bucket spec); re-ingesting the same batch now sees everything
-        fresh = batch.join(
-            incremental_dedup(spark, batch, "t_digest_idx")
-            .where("is_new")
-            .select("doc_id"),
-            "doc_id",
-        )
-        build_digest_index(fresh, "t_digest_idx", mode="append", n_buckets=4)
+        # fold the batch into the index via the safe protocol (anti-join
+        # keeps the one-row-per-digest invariant even though the batch
+        # contains already-indexed content); re-ingest sees everything
+        update_digest_index(spark, batch, "t_digest_idx", n_buckets=4)
         again = incremental_dedup(spark, batch, "t_digest_idx").collect()
+        assert len(again) == 3  # still exactly one verdict row per doc
         assert all(not r.is_new for r in again)
-        assert {r.doc_id: r.keeper_id for r in again}[11] == 11
+        verdicts = {r.doc_id: r.keeper_id for r in again}
+        assert verdicts == {10: 1, 11: 11, 12: 2}  # old keepers kept
+        # the index holds exactly one row per distinct digest
+        idx = spark.table("t_digest_idx")
+        assert idx.count() == idx.select("digest").distinct().count() == 4
     finally:
         spark.sql("DROP TABLE IF EXISTS t_digest_idx")
 
