@@ -94,7 +94,15 @@ def main() -> None:
 
     from datavalidation_spark.session import get_spark
 
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    # showConsoleProgress=false: progress bars interleave with stdout and can
+    # corrupt the driver's tail capture of the final summary line (r4 failure
+    # mode: BENCH_r04.json rc=0 but parsed=null).
+    spark = get_spark(
+        "bench",
+        cores=cpus,
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod
@@ -171,28 +179,42 @@ def main() -> None:
         q_runs[name] = trials
     steal_queries = _steal_pct(steal1, _cpu_ticks())
 
-    print(
-        json.dumps(
-            {
-                "metric": "validated_docs_per_sec",
-                "value": round(docs_per_sec, 1),
-                "unit": "docs/sec",
-                "queries": q_times,
-                "sf": sf,
-                "n_docs": n_docs,
-                "validate_sec": round(elapsed, 3),
-                "validate_runs_sec": [round(t, 3) for t in runs],
-                "plan_build_sec": round(min(builds), 3),
-                "query_runs_sec": q_runs,
-                "gate_loadavg": gate_load,
-                "steal_pct_headline": steal_headline,
-                "steal_pct_queries": steal_queries,
-                "n_violations": n_violations,
-                "n_partitions": len(verd),
-                "cpus": cpus,
-            }
-        )
+    # Compact summary on stdout (headline + per-query scalar mins ONLY) as
+    # the very last line; per-run arrays go to a snapshot file instead. The
+    # driver captures a bounded stdout TAIL and json-parses the last line —
+    # in r4 the full-detail line (run arrays for 62 queries) overflowed that
+    # window and BENCH_r04.json recorded parsed=null despite rc=0.
+    summary = {
+        "metric": "validated_docs_per_sec",
+        "value": round(docs_per_sec, 1),
+        "unit": "docs/sec",
+        "queries": q_times,
+        "sf": sf,
+        "n_docs": n_docs,
+        "validate_sec": round(elapsed, 3),
+        "plan_build_sec": round(min(builds), 3),
+        "gate_loadavg": gate_load,
+        "steal_pct_headline": steal_headline,
+        "steal_pct_queries": steal_queries,
+        "n_violations": n_violations,
+        "n_partitions": len(verd),
+        "cpus": cpus,
+    }
+    detail = dict(
+        summary,
+        validate_runs_sec=[round(t, 3) for t in runs],
+        plan_build_runs_sec=[round(t, 3) for t in builds],
+        query_runs_sec=q_runs,
     )
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "last_run_detail.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # detail snapshot is best-effort; the stdout summary is the record
+    sys.stdout.flush()
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":
