@@ -1337,11 +1337,17 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     n_lines = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
+    # n_lines=0 guard (ADVICE r4): sequence(0, -1) is a DESCENDING [0, -1]
+    # in Spark while DuckDB's range(0, 0) is empty — degenerate (blank-text)
+    # docs must yield an empty line list in BOTH engines.
     fixture = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.array_join(F.slice(toks, i * 3 + 1, 3), " "),
-        ),
+        F.when(
+            n_lines > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(toks, i * 3 + 1, 3), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
         "\n",
     )
     derived = docs.select("doc_id", fixture.alias("text"))
@@ -2416,6 +2422,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT count(*) AS n,
                      sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nnull,
                      min(value) AS mn, max(value) AS mx, avg(value) AS mean,
+                     count(event_id) AS nn_id,
                      count(DISTINCT event_id) AS nd,
                      sum(CASE WHEN event_type IS NULL OR event_type NOT IN
                          ('click', 'view', 'purchase', 'error')
@@ -2435,7 +2442,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'value-mean', 'value', round(mean, 6),
                    mean BETWEEN 40.0 AND 60.0 FROM s
             UNION ALL SELECT 'event-id-unique', 'event_id',
-                   round(CAST(n - nd AS DOUBLE), 6), n = nd FROM s
+                   round(CAST(nn_id - nd AS DOUBLE), 6), nn_id = nd FROM s
             UNION ALL SELECT 'event-type-enum', 'event_type',
                    round(oos / CAST(n AS DOUBLE), 6), oos = 0 FROM s
         """,

@@ -255,11 +255,20 @@ class ManifestLog:
                 tables[name] = []  # fold overwrite semantics into the ckpt
             for name, files in doc.get("tables", {}).items():
                 tables.setdefault(name, []).extend(files)
-            history[f"{seq:08d}"] = {
-                "tables": doc.get("tables", {}),
-                "meta": doc.get("meta", {}),
-                "replace": doc.get("replace", []),
-            }
+            if "history" in doc:
+                # an expire_snapshots claim commit whose '_checkpoint-'
+                # alias was lost to a crash: it is a replace-all full-state
+                # fold that carries the post-expiry history — adopt that
+                # history wholesale instead of recording the claim as one
+                # opaque snapshot (which would truncate time travel)
+                history = dict(doc["history"])
+                history_floor = doc.get("history_floor", history_floor)
+            else:
+                history[f"{seq:08d}"] = {
+                    "tables": doc.get("tables", {}),
+                    "meta": doc.get("meta", {}),
+                    "replace": doc.get("replace", []),
+                }
         # belt-and-braces dedupe (first-seen order) so duplicates can never
         # persist and grow through successive folds
         tables = {n: list(dict.fromkeys(fs)) for n, fs in tables.items()}
@@ -316,6 +325,19 @@ class ManifestLog:
         out-of-scope janitor.
 
         Returns ``{"expired_snapshots": n, "deleted_files": n}``."""
+        for _ in range(8):
+            res = self._expire_once(before_seq)
+            if res is not None:
+                return res
+        raise RuntimeError(
+            "expire_snapshots kept losing the publish race to concurrent "
+            "committers — retry exhausted"
+        )
+
+    def _expire_once(self, before_seq: int) -> dict | None:
+        """One optimistic expire attempt; None = a commit landed between our
+        state snapshot and our claimed slot, so the fold is stale — the
+        caller retries from a fresh compact."""
         self.compact()
         ckpts = self._checkpoints()
         if not ckpts:
@@ -344,10 +366,30 @@ class ManifestLog:
                 state.setdefault(name, []).extend(files)
         state = {n: list(dict.fromkeys(fs)) for n, fs in state.items()}
 
+        # the boundary entry keeps its ORIGINAL meta (merged, not replaced):
+        # dropping it would forget e.g. cdc_batch_id, so a stale foreachBatch
+        # replay after expiry would be re-applied instead of skipped
+        # (ADVICE r4). The other expired commits' CDC batch ids survive as a
+        # per-table union under ``cdc_applied``.
+        boundary_meta = dict(hist[boundary].get("meta", {}))
+        boundary_meta["expired_through"] = int(boundary)
+        cdc_applied: dict[str, set[int]] = {}
+        for s in expired:
+            m = hist[s].get("meta", {})
+            if "cdc_table" in m and "cdc_batch_id" in m:
+                cdc_applied.setdefault(str(m["cdc_table"]), set()).add(
+                    int(m["cdc_batch_id"])
+                )
+            for t, ids in m.get("cdc_applied", {}).items():  # fold prior expiries
+                cdc_applied.setdefault(str(t), set()).update(int(b) for b in ids)
+        if cdc_applied:
+            boundary_meta["cdc_applied"] = {
+                t: sorted(ids) for t, ids in sorted(cdc_applied.items())
+            }
         new_hist = {
             boundary: {
                 "tables": state,
-                "meta": {"expired_through": int(boundary)},
+                "meta": boundary_meta,
                 "replace": sorted(all_tables | set(state)),
             }
         }
@@ -370,24 +412,69 @@ class ManifestLog:
         new_doc = dict(doc)
         new_doc["history"] = new_hist
         new_doc["history_floor"] = int(boundary)
+        # Claim the COMMIT slot first (ADVICE r4, medium). The old code
+        # linked only '_checkpoint-{new_seq}.json': a concurrent committer
+        # computing the same _next_seq() would successfully link
+        # '{new_seq}.json' (different filename, no FileExistsError), leaving
+        # its commit at seq == checkpoint floor — skipped by every read and
+        # silently dropped by the next compact. Winning '{seq}.json' through
+        # the same optimistic-retry loop committers use makes the seq
+        # genuinely exclusive; the '_checkpoint-' alias then hard-links the
+        # identical payload at the won seq. The payload carries a top-level
+        # replace-all + full current tables, so if we crash between the two
+        # links the claim file alone is a correct full-state commit (and
+        # compact() adopts its embedded history — see the live-commit loop).
+        new_doc["replace"] = sorted(new_doc.get("tables", {}))
         new_seq = self._next_seq()
-        new_doc["meta"] = {"checkpoint_of": new_seq, "expired_through": int(boundary)}
-        data = json.dumps(new_doc, sort_keys=True).encode()
-        tmp = os.path.join(self.commits_dir, f"_tmp-{uuid.uuid4().hex}")
-        with open(tmp, "wb") as f:
-            f.write(data)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(
-                tmp,
-                os.path.join(self.commits_dir, f"_checkpoint-{new_seq:08d}.json"),
-            )
-        except FileExistsError:
-            return {"expired_snapshots": 0, "deleted_files": 0}  # lost race
-        finally:
-            os.unlink(tmp)
+        while True:
+            new_doc["meta"] = {
+                "checkpoint_of": new_seq,
+                "expired_through": int(boundary),
+            }
+            data = json.dumps(new_doc, sort_keys=True).encode()
+            tmp = os.path.join(self.commits_dir, f"_tmp-{uuid.uuid4().hex}")
+            with open(tmp, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            claim = os.path.join(self.commits_dir, f"{new_seq:08d}.json")
+            try:
+                os.link(tmp, claim)
+            except FileExistsError:
+                os.unlink(tmp)
+                new_seq += 1  # lost the slot to a commit — optimistic retry
+                continue
+            # Gap check: a commit that won a seq in (top, new_seq) AFTER our
+            # state snapshot is below the new floor but NOT folded into this
+            # checkpoint — publishing the alias would hide it forever. Our
+            # claim is published, so no further commit can land below
+            # new_seq; the listing is therefore complete and race-free.
+            gap = [
+                s
+                for s, _ in self._commit_seqs()
+                if top < s < new_seq
+            ]
+            if gap:
+                os.unlink(claim)  # release the slot; restart from compact
+                os.unlink(tmp)
+                return None
+            try:
+                os.link(
+                    tmp,
+                    os.path.join(
+                        self.commits_dir, f"_checkpoint-{new_seq:08d}.json"
+                    ),
+                )
+            finally:
+                os.unlink(tmp)
+            break
         self._fsync_dir(self.commits_dir)
+        # the checkpoint alias is durable: retire the claim file (readers
+        # skip seq <= floor anyway; snapshots() would list it as a phantom)
+        try:
+            os.unlink(claim)
+        except FileNotFoundError:
+            pass
         try:
             os.unlink(path)  # the superseded checkpoint
         except FileNotFoundError:

@@ -54,7 +54,12 @@ def _agg_expr(spec: dict, i: int) -> list[Column]:
     elif kind == "mean_between":
         obs = F.avg(c)
     elif kind == "unique":
-        obs = (n - F.count_distinct(c)).cast("double")
+        # duplicates among NON-NULL values: count(c) ignores NULLs exactly
+        # like count_distinct(c) does, matching the Great Expectations /
+        # SQL UNIQUE convention (NULLs are not duplicates of each other).
+        # The old form used count(*) and reported every NULL as a duplicate
+        # (ADVICE r4). Pair with null_rate_at_most to also reject NULLs.
+        obs = (F.count(c) - F.count_distinct(c)).cast("double")
     elif kind == "in_set":
         vals = [F.lit(v) for v in spec["values"]]
         obs = F.sum((~c.isin(*vals) | c.isNull()).cast("long")) / n

@@ -412,7 +412,7 @@ def simhash_pairs(
         ).alias("bk"),
     ).select("id", "simhash", "bk.blk", "bk.key")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    out = (
         blocked.alias("a")
         .join(blocked.alias("b"), ["blk", "key"])
         .where(F.col("a.id") < F.col("b.id"))
@@ -427,6 +427,11 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    # cache lifetime = result-plan lifetime (ADVICE r4: repeated calls in a
+    # long session otherwise accumulate signature caches with no release)
+    from datavalidation_spark.operators._cache import release_with
+
+    return release_with(out, sig)
 
 
 def winnow_fingerprints(

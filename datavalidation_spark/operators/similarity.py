@@ -519,11 +519,16 @@ def ivf_topk(
         F.round(_dot(F.col("qvec"), F.col("nvec")), 6).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+    # tie the normalized-corpus cache to the returned plan (ADVICE r4 leak
+    # class): dropped result → blocks released; held result → recompute-safe
+    from datavalidation_spark.operators._cache import release_with
+
+    return release_with(out, n)
 
 
 def semdedup(
@@ -617,8 +622,11 @@ def semdedup(
         .where(F.col("cosine") >= tau)
     )
     wb = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("dup_of"))
-    return (
+    out = (
         pairs.withColumn("rn", F.row_number().over(wb))
         .where(F.col("rn") == 1)
         .select("vec_id", F.col("cell").cast("int").alias("cell"), "dup_of", "cosine")
     )
+    from datavalidation_spark.operators._cache import release_with
+
+    return release_with(out, assigned)

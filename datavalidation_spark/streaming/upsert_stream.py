@@ -37,11 +37,17 @@ from datavalidation_spark.engine.reconcile import merge_upsert
 
 
 def applied_batches(log: ManifestLog, table: str) -> set[int]:
-    """Batch ids already committed for ``table`` (from snapshot meta)."""
-    out = set()
+    """Batch ids already committed for ``table`` (from snapshot meta).
+
+    Reads both live per-commit metadata and the per-table ``cdc_applied``
+    union that ``expire_snapshots`` folds into its boundary entry — so the
+    exactly-once replay guard survives snapshot expiry."""
+    out: set[int] = set()
     for _, meta in log.snapshots():
         if meta.get("cdc_table") == table and "cdc_batch_id" in meta:
             out.add(int(meta["cdc_batch_id"]))
+        for b in meta.get("cdc_applied", {}).get(table, []):
+            out.add(int(b))
     return out
 
 

@@ -86,3 +86,112 @@ def test_commit_and_compact_after_expire(spark, tmp_path):
     assert _ids(log.read(spark, "t")) == [10, 11, 20, 30]
     assert _ids(log.read_at(spark, "t", s2)) == [10, 11]
     assert _ids(log.read_at(spark, "t", s4)) == [10, 11, 20, 30]
+
+
+def test_expire_does_not_swallow_concurrent_commit(spark, tmp_path, monkeypatch):
+    """ADVICE r4 (medium): a committer racing expire_snapshots at the same
+    _next_seq() must keep its commit visible. The old code linked only the
+    '_checkpoint-{seq}.json' alias, so a commit landing at '{seq}.json'
+    (different filename — no collision) ended up AT the checkpoint floor:
+    invisible to reads and dropped un-folded by the next compact. The fix
+    claims '{seq}.json' first through the optimistic retry loop.
+
+    Interleaving is forced deterministically: the 'concurrent' committer
+    runs inside expire's _next_seq() call and takes exactly the seq expire
+    is about to use."""
+    log = ManifestLog(str(tmp_path / "m"))
+    log.commit({"t": _df(spark, 0, 3)})
+    s2 = log.commit({"t": _df(spark, 10, 12)})
+    s3 = log.commit({"t": _df(spark, 20, 21)})
+
+    racer_df = _df(spark, 900, 903).localCheckpoint(eager=True)
+    orig_next_seq = ManifestLog._next_seq
+    fired = {"done": False}
+
+    def race_next_seq(self):
+        seq = orig_next_seq(self)
+        if not fired["done"]:
+            fired["done"] = True
+            racer = ManifestLog(self.root)
+            won = racer.commit({"t": racer_df})
+            assert won == seq, "racer must land exactly on expire's seq"
+        return seq
+
+    monkeypatch.setattr(ManifestLog, "_next_seq", race_next_seq)
+    log.expire_snapshots(before_seq=s3)
+    monkeypatch.undo()
+
+    # the racer's rows must be visible now...
+    assert _ids(log.read(spark, "t")) == [0, 1, 2, 10, 11, 20, 900, 901, 902]
+    # ...and still visible after compaction (the old bug deleted the commit
+    # file without folding it)
+    log.compact()
+    assert _ids(log.read(spark, "t")) == [0, 1, 2, 10, 11, 20, 900, 901, 902]
+    assert _ids(log.read_at(spark, "t", s2)) == [0, 1, 2, 10, 11]
+
+
+def test_expire_crash_between_claim_and_alias_is_recoverable(
+    spark, tmp_path, monkeypatch
+):
+    """Crash window of the claim-first protocol: '{seq}.json' linked, the
+    '_checkpoint-' alias not yet. The claim is a replace-all full-state
+    commit carrying the post-expiry history, so reads stay exact and the
+    next compact adopts that history instead of truncating time travel."""
+    import os as _os
+
+    log = ManifestLog(str(tmp_path / "m"))
+    log.commit({"t": _df(spark, 0, 3)})
+    s2 = log.commit({"t": _df(spark, 10, 12)}, replace=True)
+    s3 = log.commit({"t": _df(spark, 20, 21)})
+
+    real_link = _os.link
+    state = {"claims": 0}
+
+    def crashing_link(src, dst):
+        if "_checkpoint-" in _os.path.basename(dst) and state["claims"] == 1:
+            raise OSError("simulated crash before checkpoint alias")
+        if _os.path.basename(dst)[0].isdigit():
+            state["claims"] += 1
+        return real_link(src, dst)
+
+    monkeypatch.setattr("datavalidation_spark.engine.acid.os.link", crashing_link)
+    with pytest.raises(OSError, match="simulated crash"):
+        log.expire_snapshots(before_seq=s3)
+    monkeypatch.undo()
+
+    # reads through the orphaned claim commit are exact
+    assert _ids(log.read(spark, "t")) == [10, 11, 20]
+    assert _ids(log.read_at(spark, "t", s3)) == [10, 11, 20]
+    # compact adopts the claim's embedded history: kept snapshots still
+    # reconstruct, expired ones still raise
+    log.compact()
+    assert _ids(log.read(spark, "t")) == [10, 11, 20]
+    assert _ids(log.read_at(spark, "t", s2)) == [10, 11]
+    with pytest.raises(ValueError):
+        log.committed_files_at("t", 1)
+
+
+def test_expire_preserves_cdc_batch_ids(spark, tmp_path):
+    """ADVICE r4: expiry must not forget applied CDC batch ids — a stale
+    foreachBatch replay after expire would otherwise be re-applied."""
+    from datavalidation_spark.streaming.upsert_stream import (
+        apply_cdc_batch,
+        applied_batches,
+    )
+
+    log = ManifestLog(str(tmp_path / "m"))
+    for b in range(3):
+        ch = spark.createDataFrame(
+            [(b * 10 + i, float(b)) for i in range(2)], "id bigint, v double"
+        )
+        assert apply_cdc_batch(log, "t", ch, batch_id=b, key_cols=["id"])
+    head = log.snapshots()[-1][0]
+    log.expire_snapshots(before_seq=head)  # expire all but the newest
+    assert applied_batches(log, "t") == {0, 1, 2}
+    # second expiry folds the cdc_applied union forward, not just live meta
+    log.commit({"t": _df(spark, 500, 501)})
+    log.expire_snapshots(before_seq=log.snapshots()[-1][0])
+    assert applied_batches(log, "t") == {0, 1, 2}
+    # replay of an expired batch id is still a no-op
+    ch = spark.createDataFrame([(999, 9.9)], "id bigint, v double")
+    assert apply_cdc_batch(log, "t", ch, batch_id=1, key_cols=["id"]) is False

@@ -413,3 +413,22 @@ def test_semdedup_cell_blocking_is_exhaustive_within_cell(spark):
                     break
     assert {r.vec_id for r in dropped} == expect_dropped
     assert all(cell_of[r.vec_id] == r.cell for r in dropped)
+
+
+def test_persisted_intermediates_released_on_result_gc(spark, corpus):
+    """ADVICE r4 leak class: operators that persist an intermediate for
+    multi-job reuse (simhash signatures, IVF normalized corpus, semdedup
+    assignment) must release those blocks once the caller drops the result
+    plan — otherwise a long-lived session accumulates caches forever."""
+    import gc
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_cached()
+    out = simhash_pairs(corpus)
+    out.collect()
+    assert n_cached() > base, "the signature cache should exist while held"
+    del out
+    gc.collect()
+    assert n_cached() == base, "dropping the result must unpersist the cache"

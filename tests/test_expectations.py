@@ -83,3 +83,16 @@ def test_spec_validation(spark, fixture):
         run_expectations(fixture, [{"kind": "bogus"}])
     with pytest.raises(ValueError):
         run_expectations(fixture, [{"kind": "min_at_least", "column": "score"}])
+
+
+def test_unique_ignores_nulls(spark):
+    """ADVICE r4: 'unique' follows the GE / SQL UNIQUE convention — NULLs
+    are not duplicates of each other. Real duplicates still fail."""
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "id int"
+    )
+    out = run_expectations(df, [{"kind": "unique", "column": "id"}]).collect()[0]
+    assert out.ok and out.observed == 0.0
+    dup = spark.createDataFrame([(1,), (1,), (None,)], "id int")
+    out = run_expectations(dup, [{"kind": "unique", "column": "id"}]).collect()[0]
+    assert not out.ok and out.observed == 1.0
