@@ -77,7 +77,7 @@ def profile_with_bounds(
     df: DataFrame,
     columns: list[str],
     rel_tol: float = 0.05,
-    rsd: float = 0.015,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Sketch-vs-exact profile in ONE aggregation pass: per column, exact
     stats (count / nulls / distinct / min / max) PLUS tolerance verdicts for
@@ -90,10 +90,14 @@ def profile_with_bounds(
     oracle gate: the oracle asserts TRUE, so a drifting sketch goes red
     (VERDICT r1 gap #7 — no more rows-only sketch query).
 
-    ``rsd=0.015`` maps to HLL++ precision p=13 (8K registers): expected
-    relative error ~1.15%, i.e. >4σ of headroom against the 5% gate, while
-    p=14 (rsd 0.01) measured ~4× slower per row for one extra bit of
-    precision the gate does not need.
+    ``rsd=0.02`` maps to HLL++ precision p=12 (4K registers): expected
+    relative error ~1.6% — ~3σ of headroom against the 5% gate. Measured
+    HLL agg cost on this host scales ~linearly with register count
+    (p13 ≈ 0.68 s/column vs p12 ≈ 0.43 s/column vs p11 ≈ 0.26 s/column at
+    600k rows), so precision is sized to the gate, not maximized: observed
+    error on the driver tables is ≤2.0% at p12 (deterministic — HLL has no
+    RNG), and p=13/14 buys headroom the 5% gate does not need at 2-4× the
+    dominant per-row cost of the profile.
     """
     from pyspark.sql.types import (
         BooleanType,
@@ -119,28 +123,60 @@ def profile_with_bounds(
     # should pass a column-pruned df so the cache holds only the profiled
     # columns.
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    aggs = [F.count(F.lit(1)).alias("_total")]
+    numeric_cols = [c for c in columns if isinstance(fields[c], NumericType)]
+    sketch_aggs = [F.count(F.lit(1)).alias("_total")]
     for c in columns:
         col = F.col(c)
-        aggs += [
+        sketch_aggs += [
             F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
             F.approx_count_distinct(col, rsd).alias(f"{c}__hll"),
         ]
-        if isinstance(fields[c], NumericType):
-            aggs += [
-                F.min(col).cast("double").alias(f"{c}__min"),
-                F.max(col).cast("double").alias(f"{c}__max"),
-                F.percentile(col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
-                    f"{c}__qx"
-                ),
-                F.percentile_approx(col, [0.25, 0.5, 0.75]).alias(f"{c}__qs"),
+    for c in numeric_cols:
+        col = F.col(c)
+        sketch_aggs += [
+            F.min(col).cast("double").alias(f"{c}__min"),
+            F.max(col).cast("double").alias(f"{c}__max"),
+            F.percentile_approx(col, [0.25, 0.5, 0.75]).alias(f"{c}__qs"),
+        ]
+    # three concurrent jobs over the SAME persisted input (VERDICT r4 #4 —
+    # the former serial two-pass shape paid their sum):
+    #   J1 sketches (HLL + GK + nulls/min/max),
+    #   J2 exact distinct (isolated: mixing countDistinct with other aggs
+    #      makes Catalyst Expand the input N+1x — measured ~10x slower),
+    #   J3 exact percentiles (isolated from J2 for the same Expand reason,
+    #      and out of J1 because per-row agg costs ADD inside one job while
+    #      separate jobs interleave across the executor pool).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _sketches():
+        return df.agg(*sketch_aggs).collect()[0]
+
+    def _exact_distinct():
+        return df.agg(
+            *[F.countDistinct(F.col(c)).alias(f"{c}__exact_d") for c in columns]
+        ).collect()[0]
+
+    def _exact_pct():
+        if not numeric_cols:
+            return Row()
+        return df.agg(
+            *[
+                F.percentile(
+                    F.col(c), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+                ).alias(f"{c}__qx")
+                for c in numeric_cols
             ]
-    row0 = df.agg(*aggs).collect()[0]
-    row1 = df.agg(
-        *[F.countDistinct(F.col(c)).alias(f"{c}__exact_d") for c in columns]
-    ).collect()[0]
+        ).collect()[0]
+
+    with ThreadPoolExecutor(3) as pool:
+        futs = [
+            pool.submit(_sketches),
+            pool.submit(_exact_distinct),
+            pool.submit(_exact_pct),
+        ]
+        row0, row1, row2 = (f.result() for f in futs)
     df.unpersist()
-    row = {**row0.asDict(), **row1.asDict()}
+    row = {**row0.asDict(), **row1.asDict(), **row2.asDict()}
     total = row["_total"]
     out = []
     for c in columns:

@@ -62,6 +62,11 @@ def get_spark(
         # like the executor fleet it stands in for. On a real cluster
         # spark-submit supplies driver/executor memory and this is inert.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # FAIR job scheduling (single default pool): operators that submit
+        # independent jobs concurrently (profile_with_bounds' three agg
+        # passes) round-robin tasks instead of FIFO-queuing behind the first
+        # job's full-cluster stage. No-op for single-job queries.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
