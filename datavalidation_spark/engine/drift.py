@@ -414,9 +414,15 @@ def advanced_checks_fn(
     for the ensemble when importable (reference parity,
     ``advanced_validation.py:125-148``); this container does not ship
     sklearn, so the deterministic numpy implementations are the tested
-    default — the flag matters on production images. Oracled callers are
-    unaffected: the ensemble is the one rows-only check, and the
-    change-point / MI oracles pin the portable numpy paths regardless."""
+    default — the flag matters on production images. Divergence bound
+    (tests/test_sklearn_parity.py, opt-in where sklearn exists): both
+    implementations must FLAG planted extremes ≥10 IQR out and rank them
+    top-1; raw scores and near-boundary flags (±1 neighbor of the
+    contamination quantile) may differ — callers needing bit-stable output
+    across images pass ``prefer_sklearn=False``, as the hard-oracled
+    ``q_advanced_anomaly`` does; ``q_advanced_anomaly_recall`` leaves the
+    preference on and gates detection quality on whichever implementation
+    the image provides."""
 
     if prefer_scipy:
         try:  # exact-parity lib when present
