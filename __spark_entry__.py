@@ -1813,6 +1813,82 @@ def q_profile_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round-5 serialized rule catalog (rules/dsl.py): JSON-safe specs compiled
+# via F.expr into the same vectorized plan as the hand-written catalogs.
+# The content-addressed catalog_version() of THIS list is the rule_version
+# the audit log keys resume-skipping on — edit a threshold here and every
+# previously-validated partition re-validates.
+DSL_DOC_CATALOG: list[dict] = [
+    {
+        "rule_id": "DSL-TEXT-MISS",
+        "violation": "text IS NULL OR length(text) = 0",
+        "remark_literal": "text missing",
+        "tags": ["doc"],
+    },
+    {
+        "rule_id": "DSL-NCHARS-MISMATCH",
+        "violation": (
+            "n_chars IS NOT NULL AND text IS NOT NULL AND n_chars <> length(text)"
+        ),
+        "remark": (
+            "concat('n_chars=', cast(n_chars as string),"
+            " ' len=', cast(length(text) as string))"
+        ),
+    },
+    {
+        "rule_id": "DSL-EN-SHORT",
+        "where": "lang = 'en'",
+        "violation": "n_chars < 400",
+        "remark_literal": "short english doc",
+        "severity": "warn",
+    },
+]
+
+
+def q_dsl_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation table from the JSON rule catalog above — proves the
+    serialized-spec path compiles to the identical explode-of-compacted-array
+    plan as the native catalogs (rules/core.py::violations), stamped with the
+    content-addressed rule_version used for audit-resume invalidation."""
+    from datavalidation_spark.rules.dsl import catalog_version, load_catalog
+
+    docs = _t(spark, sf_dir, "documents")
+    cat = load_catalog(DSL_DOC_CATALOG, name="doc-dsl")
+    return violations(docs, cat.rules, ["doc_id"]).withColumn(
+        "rule_version", F.lit(catalog_version(DSL_DOC_CATALOG))
+    )
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by md5 interval):
+    per-split doc count + char mass. Pure projection + one map-side-combinable
+    agg — the same doc lands in the same split on any partitioning, cluster
+    size, or engine, so held-out eval sets cannot leak across reruns."""
+    from datavalidation_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = assign_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id", salt="split"
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: top-50 whitespace tokens by occurrence.
+    Explode → ONE shuffle with map-side partial counts (Zipf-skewed hot
+    tokens reduce to one partial per map task), then TakeOrderedAndProject
+    over #distinct-tokens rows with a deterministic (count DESC, token ASC)
+    cut."""
+    from datavalidation_spark.operators.text import token_histogram
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    hist = token_histogram(docs, "text", k=50)
+    return hist.select("token", F.col("n").cast("long").alias("n_occ"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry order = least-recently-verified first (VERDICT r4 #2): the
     # driver's correctness gate checks the FIRST 50 entries, so the 12 rows
@@ -1833,8 +1909,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # advanced_anomaly has never had a hard-gate verification (rows-only in
     # r3/r4); round 5 gives it a derived-fixture oracle, so it leads too.
     "advanced_anomaly": q_advanced_anomaly,
-    # new in round 5 (never verified): bucketed-index ingest dedup
+    # new in round 5 (never verified): bucketed-index ingest dedup,
+    # serialized rule catalog, hash split assignment, vocab build
     "incremental_dedup": q_incremental_dedup,
+    "dsl_rules": q_dsl_rules,
+    "sample_split": q_sample_split,
+    "vocab_topk": q_vocab_topk,
     "schema_check": q_schema_check,
     "fd_check": q_fd_check,
     "snapshot_diff": q_snapshot_diff,
@@ -1915,6 +1995,24 @@ _DOC_FIRE_COUNT = " + ".join(
 
 
 _TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _dsl_catalog_version() -> str:
+    from datavalidation_spark.rules.dsl import catalog_version
+
+    return catalog_version(DSL_DOC_CATALOG)
+
+
+def _split_case_sql() -> str:
+    """WHEN arms of the split CASE — bounds from the SAME split_bounds()
+    arithmetic assign_split uses, so the two engines share one float→int
+    boundary computation."""
+    from datavalidation_spark.operators.sampling import split_bounds
+
+    rank = "('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    bounds = split_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
+    arms = " ".join(f"WHEN {rank} < {b} THEN '{n}'" for n, b in bounds[:-1])
+    return f"{arms} ELSE '{bounds[-1][0]}'"
 
 # Greedy sequence packing replayed as a recursive CTE (shared by the
 # pack_sequences and pack_shards oracles): identical md5 bucket hash,
@@ -3701,5 +3799,49 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_referential": """
             SELECT DISTINCT user_id FROM events
             WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+        """,
+        # the serialized catalog's three rules replayed as UNION ALL; the
+        # rule_version literal is the SAME content hash the Spark side stamps
+        # (rules/dsl.py::catalog_version — pure hashlib, engine-free)
+        "dsl_rules": f"""
+            WITH v AS (
+              SELECT doc_id, 'DSL-TEXT-MISS' AS rule_id, 'error' AS severity,
+                     'text missing' AS remarks
+              FROM documents WHERE text IS NULL OR length(text) = 0
+              UNION ALL
+              SELECT doc_id, 'DSL-NCHARS-MISMATCH', 'error',
+                     concat('n_chars=', CAST(n_chars AS VARCHAR),
+                            ' len=', CAST(length(text) AS VARCHAR))
+              FROM documents
+              WHERE n_chars IS NOT NULL AND text IS NOT NULL
+                AND n_chars <> length(text)
+              UNION ALL
+              SELECT doc_id, 'DSL-EN-SHORT', 'warn', 'short english doc'
+              FROM documents WHERE lang = 'en' AND n_chars < 400
+            )
+            SELECT doc_id, rule_id, severity, remarks,
+                   '{_dsl_catalog_version()}' AS rule_version
+            FROM v
+        """,
+        # identical md5-interval decision as operators/sampling.py::
+        # assign_split; the interval bounds are the exact integers
+        # split_bounds() computes (single source of the float→int arithmetic)
+        "sample_split": f"""
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM (
+              SELECT n_chars,
+                     CASE {_split_case_sql()} END AS split
+              FROM documents
+            ) GROUP BY split
+        """,
+        "vocab_topk": f"""
+            SELECT token, CAST(count(*) AS BIGINT) AS n_occ FROM (
+              SELECT unnest({_TOKS}) AS token
+              FROM documents WHERE length(trim(text)) > 0
+            ) WHERE token <> ''
+            GROUP BY token
+            ORDER BY n_occ DESC, token
+            LIMIT 50
         """,
     }

@@ -206,6 +206,7 @@ def run_resumable(
     partition_col: str = "part_id",
     only_partitions: list | None = None,
     backend: str = "manifest",
+    extra_rules: list | None = None,
 ) -> int:
     """Validate only partitions not yet recorded; append to audit.
 
@@ -235,6 +236,7 @@ def run_resumable(
     result = validate_documents(
         pending,
         asset_catalog=asset_catalog,
+        extra_rules=extra_rules,
         partition_col=partition_col,
         unique_scope=docs,
     )

@@ -11,6 +11,12 @@ Package and launch:
 The job is partition-resumable: re-submitting the same (rule-version,
 snapshot) after a kill validates only the partitions missing from the audit
 table (engine/audit.py).
+
+``--rules catalog.json`` adds a serialized rule catalog (rules/dsl.py spec
+format, expressions over the input's columns — doc_id/part_id/spans for the
+interleaved table) on top of the built-in span rules; the audit rule_version
+is then content-addressed (``v1+<hash>``), so editing the catalog
+automatically re-validates everything on the next submit.
 """
 
 from __future__ import annotations
@@ -27,7 +33,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--catalog", default=None, help="asset catalog path (referential check)")
     p.add_argument("--audit", required=True, help="audit table directory")
     p.add_argument("--run-id", default=None)
-    p.add_argument("--rule-version", default="v1")
+    p.add_argument("--rules", default=None,
+                   help="JSON rule-catalog file (rules/dsl.py spec format); "
+                   "compiled rules run IN ADDITION to the built-in span "
+                   "catalog, and unless --rule-version is given the audit "
+                   "rule_version becomes 'v1+<content hash>' so any catalog "
+                   "edit re-validates previously-passed partitions")
+    p.add_argument("--rule-version", default=None,
+                   help="audit rule-version key (default: v1, or "
+                   "v1+<catalog hash> when --rules is given)")
     p.add_argument("--snapshot-id", default="snap0")
     p.add_argument("--partition-col", default="part_id")
     p.add_argument("--backend", default="manifest", choices=["manifest", "parquet"],
@@ -55,13 +69,27 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.input)
         catalog = spark.read.parquet(args.catalog) if args.catalog else None
 
+    extra_rules = None
+    rule_version = args.rule_version or "v1"
+    if args.rules:
+        import json
+
+        from datavalidation_spark.rules.dsl import catalog_version, load_catalog
+
+        with open(args.rules) as f:
+            specs = json.load(f)
+        extra_rules = list(load_catalog(specs, name="cli").rules)
+        if args.rule_version is None:
+            rule_version = f"v1+{catalog_version(specs)}"
+
     run_id = args.run_id or f"run-{uuid.uuid4().hex[:8]}"
     n = run_resumable(
         spark,
         docs,
         args.audit,
         run_id=run_id,
-        rule_version=args.rule_version,
+        rule_version=rule_version,
+        extra_rules=extra_rules,
         snapshot_id=args.snapshot_id,
         input_manifest=args.input or f"synth:{args.synth_docs}",
         asset_catalog=catalog,

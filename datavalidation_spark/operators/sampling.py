@@ -246,3 +246,48 @@ def sample_token_budget(
         .drop("_tok", "_rank", "_rb", "_btok", "_cum_before", "_cum_in", "_dom")
     )
     return out
+
+
+def split_bounds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, cumulative upper bound in the 2^32 rank space) per split, in
+    ``weights`` order. Shared by :func:`assign_split` and external oracles so
+    the float→int boundary arithmetic is computed in exactly one place."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    cum, out = 0.0, []
+    for n, w in weights.items():
+        cum += w / total
+        out.append((n, min(int(cum * 4294967296.0), 4294967296)))
+    # clamp the last interval so float rounding can never leave a row out
+    out[-1] = (out[-1][0], 4294967296)
+    return out
+
+
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds ``out`` = the split name
+    whose cumulative hash-rank interval contains md5(salt|key).
+
+    ``weights`` maps split name → share (normalized; insertion order fixes
+    the interval layout, so pass an ordered dict and keep it stable — the
+    SAME doc lands in the same split on any cluster size, partitioning,
+    engine, or rerun, which is what makes eval splits trustworthy: a
+    re-shuffled ingest can never leak a training doc into the held-out set.
+    Pure projection — no shuffle, no UDF; the decision column costs one md5
+    per row inside codegen.
+    """
+    rank = hash_rank(F.col(key_col), salt)
+    # chained whens in ascending bound order: first matching interval wins
+    expr = None
+    for n, b in split_bounds(weights):
+        cond = rank < F.lit(b)
+        expr = F.when(cond, F.lit(n)) if expr is None else expr.when(cond, F.lit(n))
+    return df.withColumn(out, expr)

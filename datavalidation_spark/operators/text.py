@@ -152,3 +152,28 @@ def fingerprint(text: Column) -> Column:
     whitespace-insensitive). Rolling-hash analog that is portable across
     engines for oracle checks."""
     return F.md5(F.concat_ws(" ", tokens(text)))
+
+
+def token_histogram(df, text_col: str = "text", k: int | None = None):
+    """Corpus vocabulary: (token, count) over whitespace tokens, optionally
+    truncated to the top ``k`` by count (ties broken by token asc, so the
+    cut is deterministic on any partitioning).
+
+    Scale shape: explode → groupBy(token) is ONE shuffle with map-side
+    partial counts (hot tokens like "the" arrive at the reducer as one
+    partial per map task, never one row per occurrence, so token skew —
+    Zipf by construction — cannot concentrate load); the top-k is a
+    TakeOrderedAndProject over #distinct-tokens rows, which at vocab
+    cardinality (~10^6-10^8) never touches the driver until the final k.
+    Engine-portable: DuckDB reproduces it with regexp_split_to_array +
+    unnest + the same (count DESC, token ASC) order.
+    """
+    hist = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if k is not None:
+        hist = hist.orderBy(F.col("n").desc(), F.col("token")).limit(k)
+    return hist

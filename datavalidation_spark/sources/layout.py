@@ -91,28 +91,38 @@ def optimize_layout(
     mode: str = "range",
     n_files: int = 8,
 ) -> None:
-    """Rewrite ``df`` to ``path`` clustered for scan-pruning on ``cols``."""
+    """Rewrite ``df`` to ``path`` clustered for scan-pruning on ``cols``.
+
+    ``zorder`` emits a directory per Z-CELL (``_zcell=<id>/``) — reading the
+    path back surfaces ``_zcell`` as a partition column (droppable)."""
     if mode == "range":
         out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+        out.write.mode("overwrite").parquet(path)
     elif mode == "zorder":
         zed = with_z_column(df, cols)
         # Align file boundaries to Z-CELLS (the top ceil(log2(n_files))
-        # bits of the z-value), not to sampled quantiles of the raw
-        # z-value: a sampled boundary lands mid-cell, the straddling file's
-        # min/max box widens to the union of both cells, and pruning
-        # measurably halves. _z rides along as the secondary range key so
-        # oversized cells still split.
+        # bits of the z-value) BY CONSTRUCTION: one output directory per
+        # cell, so every file's min/max box is a sub-box of exactly one
+        # cell. The earlier repartitionByRange(cell, _z) approach let the
+        # range exchange's SAMPLED boundaries land mid-cell; the straddling
+        # file's box then widened to the union of two cells and pruning
+        # measurably (and nondeterministically) halved. Directory-per-cell
+        # is also the production layout: engines prune on the partition
+        # value before ever reading a footer. The hash repartition on the
+        # cell id colocates each cell; a hash collision only means one
+        # writer task emits two (still single-cell) files.
         total_bits = _BITS * len(cols)
         cell_bits = max(1, (n_files - 1).bit_length())
         cell = F.shiftright(F.col("_z"), total_bits - cell_bits)
         out = (
-            zed.repartitionByRange(n_files, cell, F.col("_z"))
-            .sortWithinPartitions("_z")
+            zed.withColumn("_zcell", cell)
+            .repartition(n_files, F.col("_zcell"))
+            .sortWithinPartitions("_zcell", "_z")
             .drop("_z")
         )
+        out.write.mode("overwrite").partitionBy("_zcell").parquet(path)
     else:
         raise ValueError(f"unknown layout mode {mode!r}")
-    out.write.mode("overwrite").parquet(path)
 
 
 def file_stats(path: str, cols: list[str]) -> list[dict]:
@@ -124,7 +134,9 @@ def file_stats(path: str, cols: list[str]) -> list[dict]:
     import pyarrow.parquet as pq
 
     out = []
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+    # recursive: covers both flat layouts (range mode) and the zorder
+    # mode's directory-per-cell layout
+    for f in sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)):
         md = pq.ParquetFile(f).metadata
         lo: dict = {}
         hi: dict = {}

@@ -288,3 +288,59 @@ def test_sample_token_budget_bucket_count_validation(spark):
                             n_rank_buckets=16).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) == sorted(map(tuple, c))
     assert len(a) == 15
+
+
+def test_assign_split_total_coverage_and_determinism(spark, sf001):
+    from datavalidation_spark.operators.sampling import assign_split, split_bounds
+
+    docs = sf001["documents"]
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_split(docs, w, key_col="doc_id", salt="s")
+    n = docs.count()
+    by = {r["split"]: r["n"] for r in
+          out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # every row assigned, all three splits non-empty at corpus size
+    assert sum(by.values()) == n
+    assert set(by) == {"train", "val", "test"}
+    assert by["train"] > by["val"] and by["train"] > by["test"]
+    # partition-layout invariance: same doc → same split on any layout
+    a = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs.repartition(13), w, key_col="doc_id", salt="s")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    # bounds arithmetic: monotone, ends exactly at 2^32
+    bounds = split_bounds(w)
+    assert [x[1] for x in bounds] == sorted(x[1] for x in bounds)
+    assert bounds[-1][1] == 2**32
+
+
+def test_assign_split_normalizes_and_rejects_bad_weights(spark):
+    from datavalidation_spark.operators.sampling import assign_split, split_bounds
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("doc_id"))
+    # weights in arbitrary units normalize to shares
+    got = assign_split(df, {"a": 3, "b": 1}, key_col="doc_id")
+    counts = {r["split"]: r["n"] for r in
+              got.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("a", 0) > counts.get("b", 0)
+    with pytest.raises(ValueError):
+        split_bounds({})
+    with pytest.raises(ValueError):
+        split_bounds({"a": 0.0})
+
+
+def test_token_histogram_counts_and_topk_cut(spark):
+    from datavalidation_spark.operators.text import token_histogram
+
+    df = spark.createDataFrame(
+        [("a b b c",), ("  B  a ",), ("",), (None,), ("c a",)], "text string"
+    )
+    full = {r["token"]: r["n"] for r in token_histogram(df).collect()}
+    assert full == {"a": 3, "b": 3, "c": 2}
+    # top-k ties broken by token asc: k=1 keeps 'a' (a and b tie at 3)
+    top1 = token_histogram(df, k=1).collect()
+    assert [(r["token"], r["n"]) for r in top1] == [("a", 3)]
