@@ -966,15 +966,23 @@ def q_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch accuracy into a hard gate instead of a rows-only check."""
     from datavalidation_spark.engine.profiling import profile_with_bounds
 
-    # column-pruned BEFORE the spread: only the 4 profiled columns ride the
-    # repartition shuffle (4x fewer bytes — this query's instability source
-    # was the full-width shuffle hitting episodic virtual-disk throttling:
-    # 20-90 s stalls at ~0% CPU steal), and profile_with_bounds persists
-    # the spread input across its two aggregation passes so the shuffle
-    # runs once per invocation.
+    # Scan parallelism from FILE SPLITS, not a repartition shuffle: the
+    # single-file bench input is read with 1 MB splits (conf scoped to this
+    # read and restored), giving ~11 scan tasks with zero exchange — the
+    # shape a production table has for free from its many files. The
+    # profile's concurrent aggregation jobs then adapt to the lower
+    # partition count (profile_with_bounds narrow-job path). Interleaved
+    # A/B at sf0.1: 2.4-2.6 s vs 3.1-3.7 s for repartition(32)+wide jobs —
+    # the former repartition was also this query's instability source
+    # (full-width shuffle hitting episodic virtual-disk throttling).
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
-    li = _spread(spark, _t(spark, sf_dir, "lineitem").select(*cols))
-    return profile_with_bounds(li, cols)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    try:
+        li = _t(spark, sf_dir, "lineitem").select(*cols)
+        return profile_with_bounds(li, cols)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
 
 
 # ---------------------------------------------------------------------------
