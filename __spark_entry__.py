@@ -1867,6 +1867,12 @@ def q_dsl_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# single source for the split contract row AND its oracle replay
+# (_split_case_sql): editing one without the other cannot desynchronize them
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SALT = "split"
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (80/10/10 by md5 interval):
     per-split doc count + char mass. Pure projection + one map-side-combinable
@@ -1875,9 +1881,7 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datavalidation_spark.operators.sampling import assign_split
 
     docs = _t(spark, sf_dir, "documents")
-    out = assign_split(
-        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id", salt="split"
-    )
+    out = assign_split(docs, _SPLIT_WEIGHTS, key_col="doc_id", salt=_SPLIT_SALT)
     return out.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
@@ -2012,15 +2016,22 @@ def _dsl_catalog_version() -> str:
 
 
 def _split_case_sql() -> str:
-    """WHEN arms of the split CASE — bounds from the SAME split_bounds()
-    arithmetic assign_split uses, so the two engines share one float→int
-    boundary computation."""
+    """WHEN arms of the split CASE — weights/salt from the module constants
+    q_sample_split uses and bounds from the SAME split_bounds() arithmetic,
+    so the two engines share one float→int boundary computation. The ELSE
+    arm also matches assign_split's otherwise-branch for NULL keys."""
     from datavalidation_spark.operators.sampling import split_bounds
 
-    rank = "('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
-    bounds = split_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
-    arms = " ".join(f"WHEN {rank} < {b} THEN '{n}'" for n, b in bounds[:-1])
-    return f"{arms} ELSE '{bounds[-1][0]}'"
+    bounds = split_bounds(_SPLIT_WEIGHTS)
+    if len(bounds) < 2:
+        raise ValueError("split oracle replay needs >= 2 splits")
+    rank = (
+        f"('0x' || substr(md5('{_SPLIT_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT"
+    )
+    q = lambda s: s.replace("'", "''")  # noqa: E731 — names are code-owned
+    arms = " ".join(f"WHEN {rank} < {b} THEN '{q(n)}'" for n, b in bounds[:-1])
+    return f"{arms} ELSE '{q(bounds[-1][0])}'"
 
 # Greedy sequence packing replayed as a recursive CTE (shared by the
 # pack_sequences and pack_shards oracles): identical md5 bucket hash,

@@ -199,9 +199,13 @@ def profile_with_bounds(
         if numeric_cols:
             jobs.append(lambda: _pct_agg(numeric_cols))
 
-    with ThreadPoolExecutor(len(jobs)) as pool:
-        rows = [f.result() for f in [pool.submit(j) for j in jobs]]
-    df.unpersist()
+    try:
+        with ThreadPoolExecutor(len(jobs)) as pool:
+            rows = [f.result() for f in [pool.submit(j) for j in jobs]]
+    finally:
+        # a failing agg job (bad column, executor loss) must not leak the
+        # cached input into session storage for the session's lifetime
+        df.unpersist()
     row = {}
     for r in rows:
         row.update(r.asDict())

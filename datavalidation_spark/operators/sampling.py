@@ -254,9 +254,13 @@ def split_bounds(weights: dict[str, float]) -> list[tuple[str, int]]:
     the float→int boundary arithmetic is computed in exactly one place."""
     if not weights:
         raise ValueError("weights must be non-empty")
+    for n, w in weights.items():
+        # each weight individually positive and finite: a negative weight
+        # would silently empty its own and earlier splits (negative bound),
+        # and NaN would corrupt every downstream bound
+        if not (float(w) > 0.0):
+            raise ValueError(f"split weight {n!r} must be > 0, got {w!r}")
     total = float(sum(weights.values()))
-    if total <= 0:
-        raise ValueError("weights must sum to a positive value")
     cum, out = 0.0, []
     for n, w in weights.items():
         cum += w / total
@@ -285,9 +289,14 @@ def assign_split(
     per row inside codegen.
     """
     rank = hash_rank(F.col(key_col), salt)
-    # chained whens in ascending bound order: first matching interval wins
+    # chained whens in ascending bound order: first matching interval wins.
+    # NULL keys produce a NULL rank (every `<` is NULL) and fall to the
+    # otherwise-branch — the LAST split — so total coverage holds even for
+    # degenerate keys, matching a SQL CASE ... ELSE replay of the bounds.
+    bounds = split_bounds(weights)
     expr = None
-    for n, b in split_bounds(weights):
+    for n, b in bounds[:-1]:
         cond = rank < F.lit(b)
         expr = F.when(cond, F.lit(n)) if expr is None else expr.when(cond, F.lit(n))
-    return df.withColumn(out, expr)
+    last = F.lit(bounds[-1][0])
+    return df.withColumn(out, last if expr is None else expr.otherwise(last))

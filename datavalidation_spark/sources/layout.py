@@ -90,14 +90,28 @@ def optimize_layout(
     *,
     mode: str = "range",
     n_files: int = 8,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Rewrite ``df`` to ``path`` clustered for scan-pruning on ``cols``.
 
-    ``zorder`` emits a directory per Z-CELL (``_zcell=<id>/``) — reading the
-    path back surfaces ``_zcell`` as a partition column (droppable)."""
+    ``zorder`` caveats: the cell count rounds n_files UP to a power of two
+    (2^ceil(log2(n_files)) directories), and reading the path back surfaces
+    ``_zcell`` as an extra partition column (droppable). Cells are
+    equal-POPULATION boxes because the z-value interleaves percent_rank
+    spaces — the only cell-skew source is heavy TIES on the clustered
+    columns (ties share one rank, hence one cell). Such a hot cell is
+    written by a single task; pass ``max_records_per_file`` to at least
+    split its output into multiple files so scan parallelism survives
+    (the write-side straggler remains — pick different clustering columns
+    if a value dominates)."""
+    writer_opts = (
+        {"maxRecordsPerFile": str(max_records_per_file)}
+        if max_records_per_file
+        else {}
+    )
     if mode == "range":
         out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
-        out.write.mode("overwrite").parquet(path)
+        out.write.options(**writer_opts).mode("overwrite").parquet(path)
     elif mode == "zorder":
         zed = with_z_column(df, cols)
         # Align file boundaries to Z-CELLS (the top ceil(log2(n_files))
@@ -120,7 +134,9 @@ def optimize_layout(
             .sortWithinPartitions("_zcell", "_z")
             .drop("_z")
         )
-        out.write.mode("overwrite").partitionBy("_zcell").parquet(path)
+        out.write.options(**writer_opts).mode("overwrite").partitionBy(
+            "_zcell"
+        ).parquet(path)
     else:
         raise ValueError(f"unknown layout mode {mode!r}")
 

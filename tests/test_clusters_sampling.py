@@ -344,3 +344,24 @@ def test_token_histogram_counts_and_topk_cut(spark):
     # top-k ties broken by token asc: k=1 keeps 'a' (a and b tie at 3)
     top1 = token_histogram(df, k=1).collect()
     assert [(r["token"], r["n"]) for r in top1] == [("a", 3)]
+
+
+def test_assign_split_null_key_gets_last_split(spark):
+    from datavalidation_spark.operators.sampling import assign_split
+
+    df = spark.createDataFrame([("a",), (None,)], "doc_id string")
+    got = {r["doc_id"]: r["split"] for r in
+           assign_split(df, {"train": 0.9, "test": 0.1}, key_col="doc_id").collect()}
+    # NULL rank falls through every interval to the otherwise-branch (last
+    # split) — total coverage, matching a SQL CASE ... ELSE replay
+    assert got[None] == "test"
+    assert got["a"] in {"train", "test"}
+
+
+def test_split_bounds_rejects_negative_weight(spark):
+    from datavalidation_spark.operators.sampling import split_bounds
+
+    with pytest.raises(ValueError, match="must be > 0"):
+        split_bounds({"a": -0.5, "b": 1.5})
+    with pytest.raises(ValueError, match="must be > 0"):
+        split_bounds({"a": float("nan"), "b": 1.0})

@@ -95,3 +95,24 @@ def test_zorder_layout_prunes_both_cols(spark, tmp_path):
         assert plain == 0.0, f"baseline unexpectedly clustered on {col}"
         assert zed >= 0.5, f"zorder prunes only {zed:.0%} of files on {col}"
     assert spark.read.parquet(zp).count() == df.count()
+
+
+def test_zorder_hot_cell_splits_files_with_cap(spark, tmp_path):
+    """A tie-dominated column collapses most rows into one z-cell (ties share
+    one percent_rank); max_records_per_file at least splits that cell's
+    output into multiple files so scan parallelism survives."""
+    n = 8_000
+    df = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        # 90% of rows carry the same (x, y) — one hot cell by construction
+        F.when(F.col("id") % 10 == 0, F.col("id") % 97).otherwise(F.lit(7)).alias("x"),
+        F.when(F.col("id") % 10 == 0, F.col("id") % 89).otherwise(F.lit(3)).alias("y"),
+    )
+    p = os.path.join(str(tmp_path), "hot")
+    optimize_layout(df, p, ["x", "y"], mode="zorder", n_files=8,
+                    max_records_per_file=1_000)
+    stats = file_stats(p, ["x"])
+    assert sum(s["rows"] for s in stats) == n
+    # the hot cell (~7,200 rows) must span >= 7 files of <= 1,000 rows
+    assert max(s["rows"] for s in stats) <= 1_000
+    assert len(stats) >= 8
