@@ -241,3 +241,54 @@ def test_run_cli_rules_flag_content_addresses_rule_version(spark, tmp_path):
     verd2 = AuditLog(audit)._read_verdicts(spark)
     assert verd2.select("rule_version").distinct().count() == 2
     assert verd2.count() == 2 * n_first
+
+
+def test_dsl_rules_compile_onto_streams(spark, tmp_path):
+    """The serialized catalog compiles onto a readStream source unchanged —
+    the declarative layer's batch/stream parity claim holds for DSL rules:
+    an availableNow file stream emits exactly the batch violation set."""
+    from datavalidation_spark.datagen import synth_documents
+    from datavalidation_spark.rules.core import violations
+    from datavalidation_spark.rules.dsl import load_catalog
+    from datavalidation_spark.streaming.validate_stream import stream_violations
+
+    specs = [
+        {
+            "rule_id": "S-SPANS-EMPTY",
+            "violation": "size(spans) = 0",
+            "remark_literal": "no spans",
+        },
+        {
+            "rule_id": "S-MANY-SPANS",
+            "violation": "size(spans) > 4",
+            "remark_literal": "suspiciously many spans",
+            "severity": "warn",
+        },
+    ]
+    rules = list(load_catalog(specs).rules)
+    docs = synth_documents(spark, 1500, dirty=True)
+    in_dir = str(tmp_path / "in")
+    docs.write.parquet(in_dir)
+    stored = spark.read.parquet(in_dir)
+
+    stream = spark.readStream.schema(stored.schema).parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_violations(stream, rules=rules)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.rule_id)
+        for r in spark.read.parquet(out_dir).select("doc_id", "rule_id").collect()
+    }
+    want = {
+        (r.doc_id, r.rule_id)
+        for r in violations(stored, rules, ["doc_id"]).collect()
+    }
+    assert got == want and len(want) > 0
