@@ -1888,6 +1888,55 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# quarantine's own catalog: both error rules FIRE on the sf0.01 corpus
+# (n_chars spans 48-553, so >450 gates a real subset) and the warn rule
+# fires without gating — all three branches of the split carry rows
+_QUAR_CATALOG: list[dict] = [
+    {
+        "rule_id": "Q-TEXT-MISS",
+        "violation": "text IS NULL OR length(text) = 0",
+        "remark_literal": "text missing",
+    },
+    {
+        "rule_id": "Q-NCHARS-MAX",
+        "violation": "n_chars > 450",
+        "remark_literal": "doc too long",
+    },
+    {
+        "rule_id": "Q-EN-SHORT",
+        "where": "lang = 'en'",
+        "violation": "n_chars < 400",
+        "remark_literal": "short english doc",
+        "severity": "warn",
+    },
+]
+
+
+def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side of validation: severity-aware clean/quarantine split
+    (rules/core.py::quarantine) under a serialized catalog — errors gate,
+    warnings ride along. One codegen projection + two filters, no shuffle;
+    the row returns both sides as (doc_id, quarantined, gating_rules) so
+    the oracle can recompute the split and the reasons exactly."""
+    from datavalidation_spark.rules.core import quarantine
+    from datavalidation_spark.rules.dsl import load_catalog
+
+    docs = _t(spark, sf_dir, "documents")
+    cat = load_catalog(_QUAR_CATALOG, name="doc-quarantine")
+    clean, bad = quarantine(docs, cat.rules)
+    clean_side = clean.select(
+        "doc_id", F.lit(False).alias("quarantined"), F.lit("").alias("gating_rules")
+    )
+    bad_side = bad.select(
+        "doc_id",
+        F.lit(True).alias("quarantined"),
+        F.array_join(
+            F.transform("quarantine_reasons", lambda v: v["rule_id"]), ","
+        ).alias("gating_rules"),
+    )
+    return clean_side.unionByName(bad_side)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary build: top-50 whitespace tokens by occurrence.
     Explode → ONE shuffle with map-side partial counts (Zipf-skewed hot
@@ -1927,6 +1976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_rules": q_dsl_rules,
     "sample_split": q_sample_split,
     "vocab_topk": q_vocab_topk,
+    "quarantine_split": q_quarantine,
     "schema_check": q_schema_check,
     "fd_check": q_fd_check,
     "snapshot_diff": q_snapshot_diff,
@@ -3853,6 +3903,25 @@ def oracle_sql() -> dict[str, str]:
                      CASE {_split_case_sql()} END AS split
               FROM documents
             ) GROUP BY split
+        """,
+        # _QUAR_CATALOG's ERROR rules replayed as concat_ws of CASE arms
+        # (NULL-skipping), in catalog order — matching the _v array order the
+        # Spark side's filter+transform preserves; Q-EN-SHORT is warn
+        # severity and must never gate
+        "quarantine_split": """
+            SELECT doc_id,
+                   gating_rules <> '' AS quarantined,
+                   gating_rules
+            FROM (
+              SELECT doc_id,
+                     concat_ws(',',
+                       CASE WHEN text IS NULL OR length(text) = 0
+                            THEN 'Q-TEXT-MISS' END,
+                       CASE WHEN n_chars > 450
+                            THEN 'Q-NCHARS-MAX' END
+                     ) AS gating_rules
+              FROM documents
+            )
         """,
         "vocab_topk": f"""
             SELECT token, CAST(count(*) AS BIGINT) AS n_occ FROM (

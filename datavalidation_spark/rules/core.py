@@ -240,3 +240,32 @@ def verdicts(
         F.sum((F.size("_v") > 0).cast("long")).alias("violating_rows"),
         (F.sum(F.size("_v")) == 0).alias("passed"),
     )
+
+
+def quarantine(
+    df: DataFrame,
+    rules: Sequence[Rule],
+    quarantine_on: Sequence[str] = ("error",),
+    out: str = "quarantine_reasons",
+) -> tuple[DataFrame, DataFrame]:
+    """The write-side of validation: split rows into (clean, quarantined).
+
+    A row is quarantined iff ANY fired rule has a severity in
+    ``quarantine_on`` (default: errors quarantine, warnings ride along).
+    The quarantined frame carries ``out`` = the array of gating violation
+    structs, so downstream repair/review sees WHY each row was held back;
+    the clean frame drops the annotation entirely.
+
+    Scale shape: ONE whole-stage-codegen projection (the same
+    ``annotate`` pass validation itself runs) + two pure filters — no
+    shuffle, no second scan; the two outputs share the annotated subtree,
+    so writing both sides costs one pass over the input when persisted or
+    written in the same job.
+    """
+    sev = [str(s) for s in quarantine_on]
+    ann = annotate(df, rules, out="_v")
+    gating = F.filter("_v", lambda v: v["severity"].isin(sev))
+    ann = ann.withColumn(out, gating)
+    clean = ann.where(F.size(out) == 0).drop("_v", out)
+    bad = ann.where(F.size(out) > 0).drop("_v")
+    return clean, bad

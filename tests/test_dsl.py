@@ -292,3 +292,53 @@ def test_dsl_rules_compile_onto_streams(spark, tmp_path):
         for r in violations(stored, rules, ["doc_id"]).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_quarantine_split_semantics(spark):
+    """quarantine(): error-severity rules gate, warn rules ride along; the
+    quarantined frame carries its gating reasons in catalog order; the two
+    frames partition the input."""
+    from datavalidation_spark.rules.core import quarantine
+    from datavalidation_spark.rules.dsl import load_catalog
+
+    df = spark.createDataFrame(
+        [
+            ("a", "ok text", 400),   # clean
+            ("b", "", 0),            # error fires -> quarantined
+            ("c", "warn only", 10),  # warn fires -> stays clean
+            ("d", None, 999),        # both errors fire -> both reasons
+        ],
+        "doc_id string, text string, n_chars int",
+    )
+    cat = load_catalog(
+        [
+            {
+                "rule_id": "E-MISS",
+                "violation": "text IS NULL OR length(text) = 0",
+                "remark_literal": "missing",
+            },
+            {
+                "rule_id": "E-BIG",
+                "violation": "n_chars > 500",
+                "remark_literal": "too big",
+            },
+            {
+                "rule_id": "W-SHORT",
+                "violation": "n_chars < 100",
+                "remark_literal": "short",
+                "severity": "warn",
+            },
+        ]
+    )
+    clean, bad = quarantine(df, cat.rules)
+    assert {r["doc_id"] for r in clean.select("doc_id").collect()} == {"a", "c"}
+    reasons = {
+        r["doc_id"]: [v["rule_id"] for v in r["quarantine_reasons"]]
+        for r in bad.collect()
+    }
+    assert reasons == {"b": ["E-MISS"], "d": ["E-MISS", "E-BIG"]}
+    # the annotation column is gone from the clean side
+    assert "quarantine_reasons" not in clean.columns
+    # quarantine_on widening: warns gate too when asked
+    clean2, bad2 = quarantine(df, cat.rules, quarantine_on=("error", "warn"))
+    assert {r["doc_id"] for r in clean2.select("doc_id").collect()} == {"a"}
