@@ -1889,18 +1889,21 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # quarantine's own catalog: both error rules FIRE on the sf0.01 corpus
-# (n_chars spans 48-553, so >450 gates a real subset) and the warn rule
-# fires without gating — all three branches of the split carry rows
+# (n_chars spans 48-553, so >450 gates a real subset and >500 gates a
+# strict subset of it — docs above 500 carry BOTH reasons, so the gate
+# exercises the multi-reason comma-join ordering against the oracle) and
+# the warn rule fires without gating — every branch of the split carries
+# rows
 _QUAR_CATALOG: list[dict] = [
-    {
-        "rule_id": "Q-TEXT-MISS",
-        "violation": "text IS NULL OR length(text) = 0",
-        "remark_literal": "text missing",
-    },
     {
         "rule_id": "Q-NCHARS-MAX",
         "violation": "n_chars > 450",
         "remark_literal": "doc too long",
+    },
+    {
+        "rule_id": "Q-TEXT-LONG",
+        "violation": "length(text) > 500",
+        "remark_literal": "text exceeds hard cap",
     },
     {
         "rule_id": "Q-EN-SHORT",
@@ -3915,10 +3918,10 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT doc_id,
                      concat_ws(',',
-                       CASE WHEN text IS NULL OR length(text) = 0
-                            THEN 'Q-TEXT-MISS' END,
                        CASE WHEN n_chars > 450
-                            THEN 'Q-NCHARS-MAX' END
+                            THEN 'Q-NCHARS-MAX' END,
+                       CASE WHEN length(text) > 500
+                            THEN 'Q-TEXT-LONG' END
                      ) AS gating_rules
               FROM documents
             )

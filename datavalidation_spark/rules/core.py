@@ -257,15 +257,30 @@ def quarantine(
     the clean frame drops the annotation entirely.
 
     Scale shape: ONE whole-stage-codegen projection (the same
-    ``annotate`` pass validation itself runs) + two pure filters — no
-    shuffle, no second scan; the two outputs share the annotated subtree,
-    so writing both sides costs one pass over the input when persisted or
-    written in the same job.
+    ``annotate`` pass validation itself runs) + two pure filters, no
+    shuffle. The two outputs share the annotated LOGICAL subtree; actions
+    are still independent jobs, so a caller writing both sides should
+    persist/checkpoint the input (or write clean and bad in one job via
+    a partitioned sink on the quarantine flag) to avoid paying the scan +
+    rule evaluation twice.
     """
+    if isinstance(quarantine_on, str):
+        # a bare "error" would iterate as characters and silently gate
+        # nothing — the exact failure mode a severity filter must not have
+        raise TypeError("quarantine_on must be a sequence of severities, not a str")
     sev = [str(s) for s in quarantine_on]
-    ann = annotate(df, rules, out="_v")
-    gating = F.filter("_v", lambda v: v["severity"].isin(sev))
+    tmp = "__quarantine_ann"
+    if out == tmp:
+        raise ValueError(f"`out` may not be the reserved name {tmp!r}")
+    for reserved in (tmp, out):
+        if reserved in df.columns:
+            raise ValueError(
+                f"input already has a {reserved!r} column — pass a different "
+                "`out` name (the annotation would silently clobber it)"
+            )
+    ann = annotate(df, rules, out=tmp)
+    gating = F.filter(tmp, lambda v: v["severity"].isin(sev))
     ann = ann.withColumn(out, gating)
-    clean = ann.where(F.size(out) == 0).drop("_v", out)
-    bad = ann.where(F.size(out) > 0).drop("_v")
+    clean = ann.where(F.size(out) == 0).drop(tmp, out)
+    bad = ann.where(F.size(out) > 0).drop(tmp)
     return clean, bad

@@ -26,7 +26,7 @@ Spec schema (one rule)::
       "remark":         "concat('bad n_chars: ', n_chars)",  # SQL expr …
       "remark_literal": "n_chars out of range",    # … or a plain string
       "where":          "lang = 'en'",             # optional applicability
-      "severity":       "error",                   # optional, default error
+      "severity":       "error",                   # optional; error|warn|info
       "tags":           ["doc", "range"]           # optional
     }
 
@@ -47,6 +47,10 @@ from .core import Rule, RuleSet
 
 _REQUIRED = {"rule_id", "violation"}
 _ALLOWED = _REQUIRED | {"remark", "remark_literal", "where", "severity", "tags"}
+# severity is load-bearing downstream (quarantine() gates on the exact
+# string), so a typo like "warning"/"ERROR" must fail at load, not silently
+# never gate
+_SEVERITIES = {"error", "warn", "info"}
 
 
 def validate_spec(spec: dict) -> None:
@@ -71,6 +75,11 @@ def validate_spec(spec: dict) -> None:
     for k in ("rule_id", "violation", "remark", "remark_literal", "where", "severity"):
         if k in spec and not isinstance(spec[k], str):
             raise TypeError(f"rule spec field {k!r} must be a string")
+    if "severity" in spec and spec["severity"] not in _SEVERITIES:
+        raise ValueError(
+            f"rule spec {spec['rule_id']!r} severity {spec['severity']!r} "
+            f"not in {sorted(_SEVERITIES)}"
+        )
     if "tags" in spec and not (
         isinstance(spec["tags"], (list, tuple))
         and all(isinstance(t, str) for t in spec["tags"])

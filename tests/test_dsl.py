@@ -281,7 +281,12 @@ def test_dsl_rules_compile_onto_streams(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        # returns False on timeout (no raise) — assert so a hung/failed
+        # stream reports itself instead of an opaque missing-path error
+        assert q.awaitTermination(120), f"stream timed out; exc={q.exception()}"
+    finally:
+        q.stop()
 
     got = {
         (r.doc_id, r.rule_id)
@@ -342,3 +347,28 @@ def test_quarantine_split_semantics(spark):
     # quarantine_on widening: warns gate too when asked
     clean2, bad2 = quarantine(df, cat.rules, quarantine_on=("error", "warn"))
     assert {r["doc_id"] for r in clean2.select("doc_id").collect()} == {"a"}
+
+
+def test_quarantine_guards(spark):
+    from datavalidation_spark.rules.core import quarantine
+    from datavalidation_spark.rules.dsl import load_catalog, validate_spec
+
+    df = spark.createDataFrame([("a", 1)], "doc_id string, n_chars int")
+    cat = load_catalog(
+        [{"rule_id": "R", "violation": "n_chars < 0", "remark_literal": "r"}]
+    )
+    # a bare severity string would iterate as characters and gate nothing
+    with pytest.raises(TypeError, match="not a str"):
+        quarantine(df, cat.rules, quarantine_on="error")
+    # reserved / colliding output columns are rejected, not clobbered
+    with pytest.raises(ValueError, match="reserved"):
+        quarantine(df, cat.rules, out="__quarantine_ann")
+    ann = df.withColumn("quarantine_reasons", F.lit("x"))
+    with pytest.raises(ValueError, match="already has"):
+        quarantine(ann, cat.rules)
+    # severity typos fail at spec validation, not silently at gate time
+    with pytest.raises(ValueError, match="severity"):
+        validate_spec(
+            {"rule_id": "X", "violation": "1=1", "remark_literal": "r",
+             "severity": "warning"}
+        )
