@@ -1940,6 +1940,33 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_side.unionByName(bad_side)
 
 
+# deterministic URL fixture (the driver tables carry no URL column):
+# one SQL expression shared verbatim by the Spark side (F.expr) and the
+# DuckDB oracle — covers www-prefixes, a second-level public suffix,
+# ports, and an unparseable branch
+_URL_DERIVE_SQL = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN concat('https://www.', source, '.example.com/doc/', doc_id) "
+    "WHEN 1 THEN concat('http://', source, '.co.uk/x?id=', doc_id) "
+    "WHEN 2 THEN concat('https://cdn.', source, '.media.net:8443/obj/', doc_id) "
+    "WHEN 3 THEN 'not a url' "
+    "ELSE concat('https://', lang, '-hub.org/p/', doc_id) END"
+)
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/urls.py): host extraction +
+    registered-domain heuristic (2 labels, 3 under second-level suffixes
+    like co.uk) + deterministic md5-rank cap of 5 docs/domain; unparseable
+    URLs keep a NULL domain and are never capped. One rank shuffle keyed
+    by domain — the CCNet/RefinedWeb domain-curation step."""
+    from datavalidation_spark.operators.urls import domain_cap
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", F.expr(_URL_DERIVE_SQL))
+    out = domain_cap(docs, "url", 5, key_col="doc_id", salt="dom")
+    return out.select("doc_id", "domain", F.col("domain_rank").cast("int"))
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary build: top-50 whitespace tokens by occurrence.
     Explode → ONE shuffle with map-side partial counts (Zipf-skewed hot
@@ -1980,6 +2007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_split": q_sample_split,
     "vocab_topk": q_vocab_topk,
     "quarantine_split": q_quarantine,
+    "domain_cap": q_domain_cap,
     "schema_check": q_schema_check,
     "fd_check": q_fd_check,
     "snapshot_diff": q_snapshot_diff,
@@ -2060,6 +2088,15 @@ _DOC_FIRE_COUNT = " + ".join(
 
 
 _TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _suffix2_sql() -> str:
+    from datavalidation_spark.operators.urls import SECOND_LEVEL_SUFFIXES
+
+    return ", ".join(f"'{s}'" for s in SECOND_LEVEL_SUFFIXES)
+
+
+_SUFFIX2_SQL = _suffix2_sql()
 
 
 def _dsl_catalog_version() -> str:
@@ -3925,6 +3962,50 @@ def oracle_sql() -> dict[str, str]:
                      ) AS gating_rules
               FROM documents
             )
+        """,
+        # same derivation CASE, host/domain regexes (group extraction only —
+        # no replacement backrefs, whose syntax differs Java vs RE2), suffix
+        # set, and md5 rank as operators/urls.py::domain_cap
+        "domain_cap": f"""
+            WITH u AS (
+              SELECT doc_id, {_URL_DERIVE_SQL} AS url FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     lower(nullif(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1), '')) AS host0
+              FROM u
+            ),
+            s AS (
+              SELECT doc_id,
+                     coalesce(nullif(regexp_extract(host0, '^www\\.(.+)$', 1), ''),
+                              host0) AS host
+              FROM h
+            ),
+            d AS (
+              SELECT doc_id,
+                     CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                               IN ({_SUFFIX2_SQL})
+                           AND nullif(regexp_extract(host,
+                                 '([^.]+\\.[^.]+\\.[^.]+)$', 1), '') IS NOT NULL
+                          THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                          ELSE coalesce(nullif(regexp_extract(host,
+                                 '([^.]+\\.[^.]+)$', 1), ''), host)
+                     END AS domain
+              FROM s
+            ),
+            r AS (
+              SELECT doc_id, domain,
+                     row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY ('0x' || substr(md5('dom|'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                                doc_id
+                     ) AS rn
+              FROM d
+            )
+            SELECT doc_id, domain, CAST(rn AS INT) AS domain_rank
+            FROM r WHERE domain IS NULL OR rn <= 5
         """,
         "vocab_topk": f"""
             SELECT token, CAST(count(*) AS BIGINT) AS n_occ FROM (
