@@ -208,3 +208,34 @@ def test_winnow_guarantee_property(spark, shared, pre_a, suf_a, pre_b, suf_b):
     a = set(fps[fps.id == 1].fp)
     b = set(fps[fps.id == 2].fp)
     assert a & b, f"no shared fingerprint for shared run of {len(shared)} tokens"
+
+
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.01, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_bounds_partition_the_rank_space(weights):
+    """For ANY positive weights: bounds are monotone non-decreasing, end
+    exactly at 2^32 (total coverage), and each interval's width is within
+    one rank unit of its normalized share (no silent share corruption)."""
+    from datavalidation_spark.operators.sampling import split_bounds
+
+    named = {f"s{i}": w for i, w in enumerate(weights)}
+    bounds = split_bounds(named)
+    uppers = [b for _, b in bounds]
+    assert uppers == sorted(uppers)
+    assert uppers[-1] == 2**32
+    total = sum(weights)
+    prev = 0
+    for (_, ub), w in zip(bounds, weights):
+        width = ub - prev
+        assert width >= 0
+        # width tracks the normalized share up to accumulated float+int
+        # truncation (< 2 rank units per boundary, clamp on the last)
+        if ub != 2**32:
+            assert abs(width - (w / total) * 2**32) < 4
+        prev = ub
