@@ -4004,7 +4004,9 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM d
             )
-            SELECT doc_id, domain, CAST(rn AS INT) AS domain_rank
+            SELECT doc_id, domain,
+                   CAST(CASE WHEN domain IS NULL THEN NULL ELSE rn END AS INT)
+                       AS domain_rank
             FROM r WHERE domain IS NULL OR rn <= 5
         """,
         "vocab_topk": f"""

@@ -89,16 +89,26 @@ def domain_cap(
     decision, not a capping one; filter ``out_domain IS NULL`` upstream if
     unparseable URLs should go).
 
-    One shuffle keyed by domain. Skew note: a single dominant domain makes
-    that key hot; this is the same shape as ``sample_stratified`` and the
-    same hash-threshold prefilter applies upstream when needed.
+    One shuffle keyed by domain — and ONLY over rows that have one:
+    NULL-domain rows are exempt from capping, so routing them through the
+    window would funnel every unparseable URL in the corpus onto a single
+    NULL-key reducer (a skew bomb at web scale, where malformed URLs are
+    a fat slice); instead they bypass the exchange entirely with a NULL
+    rank. Skew note for real domains: a single dominant domain makes its
+    key hot; this is the same shape as ``sample_stratified`` and the same
+    hash-threshold prefilter applies upstream when needed.
     """
     dom = registered_domain(strip_www(url_host(F.col(url_col))))
     with_dom = df.withColumn(out_domain, dom)
+    parseable = with_dom.where(F.col(out_domain).isNotNull())
+    unparseable = with_dom.where(F.col(out_domain).isNull()).withColumn(
+        out_rank, F.lit(None).cast("int")
+    )
     w = Window.partitionBy(out_domain).orderBy(
         hash_rank(F.col(key_col), salt), F.col(key_col)
     )
-    ranked = with_dom.withColumn(out_rank, F.row_number().over(w))
-    return ranked.where(
-        F.col(out_domain).isNull() | (F.col(out_rank) <= n_per_domain)
+    capped = (
+        parseable.withColumn(out_rank, F.row_number().over(w))
+        .where(F.col(out_rank) <= n_per_domain)
     )
+    return capped.unionByName(unparseable)

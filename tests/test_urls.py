@@ -52,9 +52,11 @@ def test_domain_cap_binds_and_is_partition_invariant(spark):
     for r in out.collect():
         by_dom.setdefault(r["domain"], []).append(r)
     # three real domains capped at 7; unparseable rows all kept under NULL
+    # with a NULL rank (they bypass the rank shuffle entirely)
     for d, rs in by_dom.items():
         if d is None:
             assert len(rs) == 4
+            assert all(r["domain_rank"] is None for r in rs)
         else:
             assert len(rs) == 7
             assert sorted(r["domain_rank"] for r in rs) == list(range(1, 8))
