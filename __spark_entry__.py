@@ -1295,11 +1295,17 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hard gate (VERDICT r3 next #6). With max_hamming=3 and 4 blocks the
     pigeonhole guarantee makes blocking exact, so the oracle can verify with
     a plain O(n²) self-join over the bit-identical md5-family signatures."""
+    from datavalidation_spark.operators._cache import carry_release
     from datavalidation_spark.operators.dedup import simhash_pairs
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    return simhash_pairs(docs, max_hamming=3, n_blocks=4).select(
-        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    pairs = simhash_pairs(docs, max_hamming=3, n_blocks=4)
+    # carry the signature-cache release hook onto the derived plan:
+    # dropping `pairs` here would unpersist the signatures BEFORE execution
+    # and both self-join sides would recompute them (review r5)
+    return carry_release(
+        pairs,
+        pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")),
     )
 
 
@@ -1432,14 +1438,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe ranking craters recall and flips the row red. The IVF internals
     (xxhash64 seeding + Lloyd refinement) are deliberately NOT transcribed —
     sketch-style accuracy gating is the contract, not bit equality."""
+    from datavalidation_spark.operators._cache import carry_release
     from datavalidation_spark.operators.similarity import cosine_topk, ivf_topk
 
     emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     q = emb.where(F.col("vec_id") < 20)
     exact = cosine_topk(q, emb, k=5).select("query_id", "neighbor_id")
-    approx = ivf_topk(q, emb, k=5, n_cells=16, n_probe=8).select(
-        "query_id", "neighbor_id"
-    )
+    ivf = ivf_topk(q, emb, k=5, n_cells=16, n_probe=8)
+    # carry the normalized-corpus cache hook onto the derived plan (see
+    # q_dedup_simhash_pairs — derive-and-drop would release it pre-execution)
+    approx = ivf.select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
     per_q = (
         exact.groupBy("query_id")
@@ -1454,10 +1462,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall"),
         )
     )
-    return per_q.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-        (F.avg("recall") >= 0.55).alias("avg_recall_ok"),
-        (F.min("recall") >= 0.2).alias("min_recall_ok"),
+    # carry the normalized-corpus cache hook all the way to the RETURNED
+    # plan — any intermediate carrier dies at function exit and would
+    # release the cache before the driver ever collects (review r5)
+    return carry_release(
+        ivf,
+        per_q.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            (F.avg("recall") >= 0.55).alias("avg_recall_ok"),
+            (F.min("recall") >= 0.2).alias("min_recall_ok"),
+        ),
     )
 
 
@@ -1943,14 +1957,20 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic URL fixture (the driver tables carry no URL column):
 # one SQL expression shared verbatim by the Spark side (F.expr) and the
 # DuckDB oracle — covers www-prefixes, a second-level public suffix,
-# ports, and an unparseable branch
+# ports, and an unparseable branch. source/lang are coalesced because the
+# ENGINES' concat NULL semantics differ (Spark: any-NULL→NULL; DuckDB:
+# skip NULL args) — without the coalesce a NULL source/lang row would
+# produce a NULL url in Spark but a mangled host in DuckDB and the gate
+# would diverge on any corpus variant containing NULLs (review r5).
 _URL_DERIVE_SQL = (
     "CASE CAST(doc_id % 5 AS INT) "
-    "WHEN 0 THEN concat('https://www.', source, '.example.com/doc/', doc_id) "
-    "WHEN 1 THEN concat('http://', source, '.co.uk/x?id=', doc_id) "
-    "WHEN 2 THEN concat('https://cdn.', source, '.media.net:8443/obj/', doc_id) "
+    "WHEN 0 THEN concat('https://www.', coalesce(source, 'nosrc'),"
+    " '.example.com/doc/', doc_id) "
+    "WHEN 1 THEN concat('http://', coalesce(source, 'nosrc'), '.co.uk/x?id=', doc_id) "
+    "WHEN 2 THEN concat('https://cdn.', coalesce(source, 'nosrc'),"
+    " '.media.net:8443/obj/', doc_id) "
     "WHEN 3 THEN 'not a url' "
-    "ELSE concat('https://', lang, '-hub.org/p/', doc_id) END"
+    "ELSE concat('https://', coalesce(lang, 'und'), '-hub.org/p/', doc_id) END"
 )
 
 

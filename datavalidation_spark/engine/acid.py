@@ -251,24 +251,30 @@ class ManifestLog:
                 return None
             if doc is None:  # torn pre-link file: genuinely skippable
                 continue
+            if doc.get("meta", {}).get("expire_claim") and not doc.get("tables"):
+                # a crashed expire_snapshots slot reservation: a no-op
+                # commit whose '_checkpoint-' never published. Fold it away
+                # silently — recording it would put an empty phantom
+                # snapshot into time travel.
+                continue
             for name in doc.get("replace", []):
                 tables[name] = []  # fold overwrite semantics into the ckpt
             for name, files in doc.get("tables", {}).items():
                 tables.setdefault(name, []).extend(files)
-            if "history" in doc:
-                # an expire_snapshots claim commit whose '_checkpoint-'
-                # alias was lost to a crash: it is a replace-all full-state
-                # fold that carries the post-expiry history — adopt that
-                # history wholesale instead of recording the claim as one
-                # opaque snapshot (which would truncate time travel)
-                history = dict(doc["history"])
-                history_floor = doc.get("history_floor", history_floor)
-            else:
-                history[f"{seq:08d}"] = {
-                    "tables": doc.get("tables", {}),
-                    "meta": doc.get("meta", {}),
-                    "replace": doc.get("replace", []),
-                }
+            # NOTE: a legacy (pre-round-5) crashed expire claim carried the
+            # full post-expiry state + embedded history. Earlier code
+            # adopted that history WHOLESALE here — but that erases the
+            # history of any commit folded earlier in this loop (the very
+            # gap commits the expire aborted over), the same data-loss
+            # vector the no-op claim now closes. Such a doc is folded as a
+            # normal replace-all commit instead: table state stays correct;
+            # time travel below it collapses to one opaque entry — the
+            # safe degradation.
+            history[f"{seq:08d}"] = {
+                "tables": doc.get("tables", {}),
+                "meta": doc.get("meta", {}),
+                "replace": doc.get("replace", []),
+            }
         # belt-and-braces dedupe (first-seen order) so duplicates can never
         # persist and grow through successive folds
         tables = {n: list(dict.fromkeys(fs)) for n, fs in tables.items()}
@@ -412,21 +418,56 @@ class ManifestLog:
         new_doc = dict(doc)
         new_doc["history"] = new_hist
         new_doc["history_floor"] = int(boundary)
-        # Claim the COMMIT slot first (ADVICE r4, medium). The old code
-        # linked only '_checkpoint-{new_seq}.json': a concurrent committer
-        # computing the same _next_seq() would successfully link
-        # '{new_seq}.json' (different filename, no FileExistsError), leaving
-        # its commit at seq == checkpoint floor — skipped by every read and
-        # silently dropped by the next compact. Winning '{seq}.json' through
-        # the same optimistic-retry loop committers use makes the seq
-        # genuinely exclusive; the '_checkpoint-' alias then hard-links the
-        # identical payload at the won seq. The payload carries a top-level
-        # replace-all + full current tables, so if we crash between the two
-        # links the claim file alone is a correct full-state commit (and
-        # compact() adopts its embedded history — see the live-commit loop).
+        # Claim the COMMIT slot first (ADVICE r4, medium): winning
+        # '{seq}.json' through the same optimistic-retry loop committers use
+        # makes the seq genuinely exclusive — a concurrent committer
+        # computing the same _next_seq() hits FileExistsError instead of
+        # landing at seq == checkpoint floor (where every read would skip
+        # it and the next compact would silently drop it).
+        #
+        # The claim content is a NO-OP commit (empty tables, no replace, no
+        # history) — a pure slot reservation. It must NOT be the full-state
+        # payload: the full state is a snapshot as of `top`, and until the
+        # gap check below passes there may exist a commit in (top, new_seq)
+        # that the snapshot does not include. A crash (or a concurrent
+        # reader) in the claim window with a replace-all payload visible
+        # would erase that commit's data forever; with a no-op payload the
+        # worst case is a harmless empty commit that compact() later folds
+        # away. The full checkpoint is published ONLY after the gap check,
+        # via the durable '_checkpoint-' link; a crash before that point
+        # leaves the log in its correct pre-expiry state.
         new_doc["replace"] = sorted(new_doc.get("tables", {}))
+        claim_doc = json.dumps(
+            {"tables": {}, "meta": {"expire_claim": True}}, sort_keys=True
+        ).encode()
         new_seq = self._next_seq()
         while True:
+            claim_tmp = os.path.join(self.commits_dir, f"_tmp-{uuid.uuid4().hex}")
+            with open(claim_tmp, "wb") as f:
+                f.write(claim_doc)
+                f.flush()
+                os.fsync(f.fileno())
+            claim = os.path.join(self.commits_dir, f"{new_seq:08d}.json")
+            try:
+                os.link(claim_tmp, claim)
+            except FileExistsError:
+                os.unlink(claim_tmp)
+                new_seq += 1  # lost the slot to a commit — optimistic retry
+                continue
+            os.unlink(claim_tmp)
+            # Gap check: a commit that won a seq in (top, new_seq) AFTER our
+            # state snapshot is below the new floor but NOT folded into this
+            # checkpoint — publishing it would hide that commit forever. Our
+            # claim is published, so no further commit can land below
+            # new_seq; the listing is therefore complete and race-free.
+            gap = [
+                s
+                for s, _ in self._commit_seqs()
+                if top < s < new_seq
+            ]
+            if gap:
+                os.unlink(claim)  # release the slot; restart from compact
+                return None
             new_doc["meta"] = {
                 "checkpoint_of": new_seq,
                 "expired_through": int(boundary),
@@ -437,27 +478,6 @@ class ManifestLog:
                 f.write(data)
                 f.flush()
                 os.fsync(f.fileno())
-            claim = os.path.join(self.commits_dir, f"{new_seq:08d}.json")
-            try:
-                os.link(tmp, claim)
-            except FileExistsError:
-                os.unlink(tmp)
-                new_seq += 1  # lost the slot to a commit — optimistic retry
-                continue
-            # Gap check: a commit that won a seq in (top, new_seq) AFTER our
-            # state snapshot is below the new floor but NOT folded into this
-            # checkpoint — publishing the alias would hide it forever. Our
-            # claim is published, so no further commit can land below
-            # new_seq; the listing is therefore complete and race-free.
-            gap = [
-                s
-                for s, _ in self._commit_seqs()
-                if top < s < new_seq
-            ]
-            if gap:
-                os.unlink(claim)  # release the slot; restart from compact
-                os.unlink(tmp)
-                return None
             try:
                 os.link(
                     tmp,
@@ -582,6 +602,8 @@ class ManifestLog:
                 continue
             doc = self._load(path)
             if doc is not None:
+                if doc.get("meta", {}).get("expire_claim") and not doc.get("tables"):
+                    continue  # live/crashed expire slot reservation: not a snapshot
                 entries[seq] = doc.get("meta", {})
         ckpts_after = self._checkpoints()
         if (ckpts_after[-1][0] if ckpts_after else 0) != head_before:

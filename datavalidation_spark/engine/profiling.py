@@ -199,9 +199,27 @@ def profile_with_bounds(
         if numeric_cols:
             jobs.append(lambda: _pct_agg(numeric_cols))
 
+    # FAIR scheduling is between POOLS, not between jobs in one pool (the
+    # default pool is internally FIFO) — each concurrent job takes its own
+    # on-demand pool so its tasks round-robin instead of queuing behind the
+    # first job's full-width stage (review r5; requires the session's
+    # spark.scheduler.mode=FAIR, set in session.get_spark).
+    sc = df.sparkSession.sparkContext
+
+    def _pooled(i, fn):
+        def run():
+            sc.setLocalProperty("spark.scheduler.pool", f"profile-{i}")
+            try:
+                return fn()
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+
+        return run
+
     try:
         with ThreadPoolExecutor(len(jobs)) as pool:
-            rows = [f.result() for f in [pool.submit(j) for j in jobs]]
+            futs = [pool.submit(_pooled(i, j)) for i, j in enumerate(jobs)]
+            rows = [f.result() for f in futs]
     finally:
         # a failing agg job (bad column, executor loss) must not leak the
         # cached input into session storage for the session's lifetime

@@ -288,6 +288,11 @@ def assign_split(
     Pure projection — no shuffle, no UDF; the decision column costs one md5
     per row inside codegen.
     """
+    if out in df.columns:
+        raise ValueError(
+            f"input already has a {out!r} column — pass a different `out` "
+            "name (withColumn would silently clobber it)"
+        )
     rank = hash_rank(F.col(key_col), salt)
     # chained whens in ascending bound order: first matching interval wins.
     # NULL keys produce a NULL rank (every `<` is NULL) and fall to the

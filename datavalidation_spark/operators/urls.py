@@ -98,6 +98,12 @@ def domain_cap(
     key hot; this is the same shape as ``sample_stratified`` and the same
     hash-threshold prefilter applies upstream when needed.
     """
+    for col in (out_domain, out_rank):
+        if col in df.columns:
+            raise ValueError(
+                f"input already has a {col!r} column — pass a different "
+                "output name (withColumn would silently clobber it)"
+            )
     dom = registered_domain(strip_www(url_host(F.col(url_col))))
     with_dom = df.withColumn(out_domain, dom)
     parseable = with_dom.where(F.col(out_domain).isNotNull())

@@ -62,10 +62,13 @@ def get_spark(
         # like the executor fleet it stands in for. On a real cluster
         # spark-submit supplies driver/executor memory and this is inert.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
-        # FAIR job scheduling (single default pool): operators that submit
-        # independent jobs concurrently (profile_with_bounds' three agg
-        # passes) round-robin tasks instead of FIFO-queuing behind the first
-        # job's full-cluster stage. No-op for single-job queries.
+        # FAIR job scheduling. NOTE: fairness is BETWEEN pools — jobs inside
+        # one pool (including 'default') still run FIFO per Spark's
+        # FairSchedulableBuilder, so this flag alone is inert (review r5).
+        # Operators that submit independent jobs concurrently must also set
+        # a DISTINCT spark.scheduler.pool local property per job thread
+        # (pools are created on demand, weight 1 → round-robin across
+        # them); profile_with_bounds does. No-op for single-job queries.
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )

@@ -45,10 +45,27 @@ def _norm(v):
     return v
 
 
+def _row_key(row: tuple) -> tuple:
+    """None-safe sort key: plain tuple sorting raises TypeError when rows
+    tie on leading columns and differ at a NULL vs non-NULL value."""
+    return tuple(
+        (v is None, "" if v is None else type(v).__name__, 0 if v is None else v)
+        for v in row
+    )
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    only = set(args[1:] if args and os.path.isdir(args[0]) else args)
+    if args and ("/" in args[0] or os.sep in args[0]):
+        # path-shaped first arg: it IS the sf_dir — a typo'd path must be a
+        # hard error, not silently reinterpreted as a query filter that
+        # matches nothing and exits green
+        if not os.path.isdir(args[0]):
+            print(f"sf_dir does not exist: {args[0]}")
+            return 2
+        sf_dir, only = args[0], set(args[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", set(args)
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -79,14 +96,18 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
-            srows = sorted(tuple(_norm(r[c]) for c in scols) for r in sdf.collect())
+            srows = sorted(
+                (tuple(_norm(r[c]) for c in scols) for r in sdf.collect()),
+                key=_row_key,
+            )
             if name not in oracles:
                 print(f"  {name}: rows-only ({len(srows)} rows, no oracle)")
                 continue
             orows_raw = con.execute(oracles[name]).fetch_arrow_table().to_pylist()
             ocols = sorted(orows_raw[0].keys()) if orows_raw else scols
             orows = sorted(
-                tuple(_norm(r[c]) for c in ocols) for r in orows_raw
+                (tuple(_norm(r[c]) for c in ocols) for r in orows_raw),
+                key=_row_key,
             )
             ok = scols == ocols and srows == orows
             status = "ok" if ok else "MISMATCH"

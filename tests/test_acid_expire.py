@@ -134,13 +134,16 @@ def test_expire_crash_between_claim_and_alias_is_recoverable(
     spark, tmp_path, monkeypatch
 ):
     """Crash window of the claim-first protocol: '{seq}.json' linked, the
-    '_checkpoint-' alias not yet. The claim is a replace-all full-state
-    commit carrying the post-expiry history, so reads stay exact and the
-    next compact adopts that history instead of truncating time travel."""
+    '_checkpoint-' alias not yet. The claim is a NO-OP slot reservation
+    (round 5: a full-state replace-all payload in this window could erase a
+    concurrent commit that landed in the gap), so a crash here means the
+    expiry simply DID NOT HAPPEN: current reads and every snapshot stay
+    intact, the orphaned claim is a phantom-free no-op, and a retry
+    completes the expiry."""
     import os as _os
 
     log = ManifestLog(str(tmp_path / "m"))
-    log.commit({"t": _df(spark, 0, 3)})
+    s1 = log.commit({"t": _df(spark, 0, 3)})
     s2 = log.commit({"t": _df(spark, 10, 12)}, replace=True)
     s3 = log.commit({"t": _df(spark, 20, 21)})
 
@@ -159,16 +162,21 @@ def test_expire_crash_between_claim_and_alias_is_recoverable(
         log.expire_snapshots(before_seq=s3)
     monkeypatch.undo()
 
-    # reads through the orphaned claim commit are exact
+    # the expiry never happened: current reads exact, ALL snapshots intact
     assert _ids(log.read(spark, "t")) == [10, 11, 20]
     assert _ids(log.read_at(spark, "t", s3)) == [10, 11, 20]
-    # compact adopts the claim's embedded history: kept snapshots still
-    # reconstruct, expired ones still raise
+    assert _ids(log.read_at(spark, "t", s2)) == [10, 11]
+    assert _ids(log.read_at(spark, "t", s1)) == [0, 1, 2]
+    # the orphaned no-op claim is not a snapshot and compact folds it away
+    assert [s for s, m in log.snapshots() if m.get("expire_claim")] == []
     log.compact()
     assert _ids(log.read(spark, "t")) == [10, 11, 20]
-    assert _ids(log.read_at(spark, "t", s2)) == [10, 11]
+    assert _ids(log.read_at(spark, "t", s1)) == [0, 1, 2]
+    # retry completes the expiry: pre-boundary snapshots now gone
+    log.expire_snapshots(before_seq=s3)
+    assert _ids(log.read(spark, "t")) == [10, 11, 20]
     with pytest.raises(ValueError):
-        log.committed_files_at("t", 1)
+        log.committed_files_at("t", s1)
 
 
 def test_expire_preserves_cdc_batch_ids(spark, tmp_path):
@@ -195,3 +203,57 @@ def test_expire_preserves_cdc_batch_ids(spark, tmp_path):
     # replay of an expired batch id is still a no-op
     ch = spark.createDataFrame([(999, 9.9)], "id bigint, v double")
     assert apply_cdc_batch(log, "t", ch, batch_id=1, key_cols=["id"]) is False
+
+
+def test_expire_gap_crash_leaves_claim_harmless(spark, tmp_path, monkeypatch):
+    """Round-5 hardening: a concurrent commit lands in (top, claim_seq) and
+    expire crashes AFTER linking its claim but BEFORE the gap-branch
+    release-unlink. The claim is a no-op slot reservation, so the orphan
+    can never erase the gap commit's data (the pre-fix full-state claim
+    was a replace-all computed WITHOUT the gap commit — readers and the
+    next compact would have dropped those rows forever)."""
+    import os as _os
+
+    log = ManifestLog(str(tmp_path / "m"))
+    log.commit({"t": _df(spark, 0, 3)})
+    s2 = log.commit({"t": _df(spark, 10, 12)})
+    s3 = log.commit({"t": _df(spark, 20, 21)})
+
+    racer_df = _df(spark, 900, 903).localCheckpoint(eager=True)
+    orig_next_seq = ManifestLog._next_seq
+    fired = {"done": False}
+
+    def race_next_seq(self):
+        seq = orig_next_seq(self)
+        if not fired["done"]:
+            fired["done"] = True
+            racer = ManifestLog(self.root)
+            won = racer.commit({"t": racer_df})
+            assert won == seq
+        return seq
+
+    real_unlink = _os.unlink
+
+    def crashing_unlink(path):
+        # the gap-branch claim release is the first digit-named unlink
+        # after the racer fired
+        if fired["done"] and _os.path.basename(path)[0].isdigit():
+            raise OSError("simulated crash before claim release")
+        return real_unlink(path)
+
+    monkeypatch.setattr(ManifestLog, "_next_seq", race_next_seq)
+    monkeypatch.setattr(
+        "datavalidation_spark.engine.acid.os.unlink", crashing_unlink
+    )
+    with pytest.raises(OSError, match="simulated crash"):
+        log.expire_snapshots(before_seq=s3)
+    monkeypatch.undo()
+
+    # the gap commit's rows are intact, now and through compaction; the
+    # orphaned claim is not a snapshot
+    want = [0, 1, 2, 10, 11, 20, 900, 901, 902]
+    assert _ids(log.read(spark, "t")) == want
+    assert [s for s, m in log.snapshots() if m.get("expire_claim")] == []
+    log.compact()
+    assert _ids(log.read(spark, "t")) == want
+    assert _ids(log.read_at(spark, "t", s2)) == [0, 1, 2, 10, 11]
