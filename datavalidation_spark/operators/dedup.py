@@ -120,17 +120,32 @@ def jaccard_pairs(
     if max_doc_freq is None:
         n_docs = df.select(id_col).count()
         max_doc_freq = min(max(n_docs // 100, 50), 1000)
+    from pyspark import StorageLevel
+
+    from datavalidation_spark.operators._cache import release_with
+
+    # Persist the exploded shingle index ONCE: it feeds the doc-size
+    # aggregate, the document-frequency aggregate, and BOTH sides of the
+    # pair self-join. Unpersisted, each consumer re-runs the scan + token
+    # split + n-gram build + array_sort(array_distinct) + explode — the
+    # round-5 plan showed SIX copies of that Generate subtree (guide §2.4:
+    # two operations keyed the same way share one materialization). The
+    # cached rows are (long, short string) — a few × corpus tokens, the
+    # same envelope the self-join shuffles anyway; MEMORY_AND_DISK spills.
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # NOTE: df_freq is vocabulary-sized (one row per distinct shingle) — it
-    # grows with the corpus, so it must NOT carry a broadcast hint; the
-    # shuffle hash join on `shingle` co-partitions with the index build, and
-    # AQE may still pick broadcast when runtime stats say it's small.
+    # Hot-shingle cap as an ANTI-join against the few over-cap shingles
+    # (guide §3.2 shape): the former inner join against the KEEPER rows of
+    # df_freq built a vocabulary-sized (corpus-growing) join relation —
+    # ~1.5M rows at sf1.0 — to drop what is typically a handful of
+    # stop-shingles. The hot set is bounded by occurrences/cap, so it stays
+    # broadcastable far longer; no hint — AQE broadcasts when small.
     df_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    indexed = sh.join(df_freq.where(F.col("df") <= max_doc_freq), "shingle")
+    hot = df_freq.where(F.col("df") > max_doc_freq).select("shingle")
+    indexed = sh.join(hot, "shingle", "left_anti")
     pairs = (
         indexed.alias("a")
         .join(indexed.alias("b"), "shingle")
@@ -138,7 +153,7 @@ def jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
+    out = (
         pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
         .withColumn(
@@ -152,6 +167,8 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # cache lifetime = result-plan lifetime (same policy as simhash_pairs)
+    return release_with(out, sh)
 
 
 def minhash_signatures(
@@ -221,7 +238,17 @@ def minhash_lsh_pairs(
     # and would otherwise all collide on the empty-marker signature (every
     # empty doc pairing with every other — quadratic AND semantically wrong).
     nonempty = df.where(F.size(tokens(F.col(text_col))) >= shingle_n)
-    sig = minhash_signatures(nonempty, text_col, id_col, k, shingle_n)
+    # Persist the signatures: they feed the banding projection AND both
+    # per-side re-attach joins after pair dedup — unpersisted, the k-md5-
+    # per-shingle aggregation pipeline ran THREE times (r6 plan audit; same
+    # fix simhash_pairs already carries). (id, 16 md5 strings) ≈ 0.5 KB/doc.
+    from pyspark import StorageLevel
+
+    from datavalidation_spark.operators._cache import release_with
+
+    sig = minhash_signatures(nonempty, text_col, id_col, k, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = sig.select(
         "id",
         F.explode(
@@ -258,9 +285,10 @@ def minhash_lsh_pairs(
         / F.lit(float(k)),
         6,
     )
-    return paired.select("id_a", "id_b", est.alias("est_jaccard")).where(
+    out = paired.select("id_a", "id_b", est.alias("est_jaccard")).where(
         F.col("est_jaccard") >= threshold
     )
+    return release_with(out, sig)
 
 
 # ---------------------------------------------------------------------------
@@ -510,10 +538,22 @@ def winnow_dup_pairs(
     if max_doc_freq is None:
         n_docs = df.select(id_col).count()
         max_doc_freq = min(max(n_docs // 100, 50), 1000)
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    from pyspark import StorageLevel
+
+    from datavalidation_spark.operators._cache import release_with
+
+    # Same two fixes as jaccard_pairs (r6): the fingerprint pipeline (k-gram
+    # md5 generator + per-doc sliding-min window + distinct) feeds the freq
+    # aggregate and BOTH self-join sides — persist it once; and the cap is
+    # an anti-join against the few over-cap fingerprints instead of an
+    # inner join against the vocabulary-sized keeper set.
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    idx = fps.join(freq.where(F.col("df") <= max_doc_freq), "fp")
-    return (
+    hot = freq.where(F.col("df") > max_doc_freq).select("fp")
+    idx = fps.join(hot, "fp", "left_anti")
+    out = (
         idx.alias("a")
         .join(idx.alias("b"), "fp")
         .where(F.col("a.id") < F.col("b.id"))
@@ -521,6 +561,7 @@ def winnow_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_common)
     )
+    return release_with(out, fps)
 
 
 def paragraph_dedup(
