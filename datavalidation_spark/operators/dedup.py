@@ -129,33 +129,106 @@ def jaccard_pairs(
     # pair self-join. Unpersisted, each consumer re-runs the scan + token
     # split + n-gram build + array_sort(array_distinct) + explode — the
     # round-5 plan showed SIX copies of that Generate subtree (guide §2.4:
-    # two operations keyed the same way share one materialization). The
-    # cached rows are (long, short string) — a few × corpus tokens, the
-    # same envelope the self-join shuffles anyway; MEMORY_AND_DISK spills.
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # two operations keyed the same way share one materialization).
+    #
+    # The index key is xxhash64(shingle), not the ~25-byte shingle string
+    # (guide §2.3 "narrower types"): the self-join's exchange and the join
+    # comparisons run on 8-byte longs. word_shingles emits DISTINCT
+    # shingles per doc, so row counts (n_sh, df, common) are unchanged by
+    # hashing unless two distinct shingles collide in the SAME pair's
+    # intersection — P < 1e-7 even at 10^8 distinct shingles (64-bit
+    # birthday bound), the same rounding-error class the md5-based MinHash
+    # family already accepts.
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        )
+        .select("id", F.xxhash64("shingle").alias("sh64"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # Hot-shingle cap as an ANTI-join against the few over-cap shingles
-    # (guide §3.2 shape): the former inner join against the KEEPER rows of
-    # df_freq built a vocabulary-sized (corpus-growing) join relation —
-    # ~1.5M rows at sf1.0 — to drop what is typically a handful of
-    # stop-shingles. The hot set is bounded by occurrences/cap, so it stays
-    # broadcastable far longer; no hint — AQE broadcasts when small.
-    df_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    hot = df_freq.where(F.col("df") > max_doc_freq).select("shingle")
-    indexed = sh.join(hot, "shingle", "left_anti")
-    pairs = (
-        indexed.alias("a")
-        .join(indexed.alias("b"), "shingle")
+    # Index keeps only shingles that CAN contribute to a pair: df = 1
+    # cannot be common to two docs (dropping them changes nothing — the
+    # Jaccard denominator uses the FULL per-doc counts from `sizes`), and
+    # df > max_doc_freq is the hot-shingle cap. In a realistic corpus the
+    # overwhelming majority of shingles are df = 1, so the keeper set is
+    # small; no broadcast hint — AQE broadcasts when runtime stats allow.
+    df_freq = sh.groupBy("sh64").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(
+        df_freq.where((F.col("df") >= 2) & (F.col("df") <= max_doc_freq)), "sh64"
+    )
+    # --- AllPairs prefix filtering (Bayardo/Ma/Srikant, WWW'07 — exact) ---
+    # The naive inverted-index self-join enumerates Σ df·(df−1)/2 candidate
+    # rows; on a self-similar corpus nearly all of them share ONE shingle
+    # while J ≥ t needs ~t·n common (measured at sf1.0: 114M candidate
+    # pairs → 2.5k survivors — a 5 orders-of-magnitude overshoot feeding
+    # the widest exchange of the query). Prefix filtering is the published
+    # exact fix: order each doc's keeper shingles by ascending global
+    # document frequency (rarest first, ties on the hash); J(a,b) ≥ t
+    # forces |common| ≥ ceil(t·n_a), and any pair with that much overlap
+    # must share its SMALLEST common element inside BOTH docs' first
+    # (n_kept − ceil(t·n) + 1) elements. Join prefixes with prefixes,
+    # then verify candidates exactly on the full keeper arrays.
+    arrs = (
+        kept.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "sh64"))),
+                lambda s: s["sh64"],
+            ).alias("arr")
+        )
+        .join(sizes, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # t′ = t − 1e−6 absorbs the 6-dp output rounding (a pair whose true J
+    # rounds UP to the threshold must survive the filter); the extra −1e−9
+    # keeps ceil() from overshooting on binary-fraction noise (0.8·45 =
+    # 36.000000000000004 must still ceil to 36, not 37). Both slacks only
+    # ever LENGTHEN the prefix — lossless by construction.
+    alpha = F.ceil(F.lit(max(threshold - 1e-6, 0.0)) * F.col("n_sh") - 1e-9)
+    plen = F.greatest(
+        F.size("arr") - alpha.cast("int") + 1, F.lit(0)
+    ).cast("int")
+    pref = arrs.select(
+        "id",
+        "n_sh",
+        F.size("arr").alias("n_k"),
+        F.posexplode(F.slice("arr", 1, plen)).alias("pos", "sh64"),
+    )
+    # PPJoin positional filter (Xiao/Wang/Lin/Yu, WWW'08 — lossless): for
+    # the SMALLEST common element of a qualifying pair, every common
+    # element sits at its position or later in both sorted arrays, so
+    # min(remaining_a, remaining_b) bounds the overlap from above; rows
+    # that cannot reach ceil(t·max(n_a, n_b)) are rejected before the
+    # pair-dedup exchange. Non-minimal matched elements of a true pair may
+    # be rejected, but the pair always survives via its minimal element.
+    tpp = max(threshold - 1e-6, 0.0)
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "sh64")
         .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .where(
+            F.least(
+                F.col("a.n_k") - F.col("a.pos"), F.col("b.n_k") - F.col("b.pos")
+            )
+            >= F.ceil(
+                F.lit(tpp) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) - 1e-9
+            )
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a_side = arrs.select(
+        F.col("id").alias("id_a"), F.col("arr").alias("arr_a"), F.col("n_sh").alias("n_a")
+    )
+    b_side = arrs.select(
+        F.col("id").alias("id_b"), F.col("arr").alias("arr_b"), F.col("n_sh").alias("n_b")
     )
     out = (
-        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        cand.join(a_side, "id_a")
+        .join(b_side, "id_b")
+        .withColumn("common", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn(
             "jaccard",
             F.round(
@@ -168,7 +241,7 @@ def jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     # cache lifetime = result-plan lifetime (same policy as simhash_pairs)
-    return release_with(out, sh)
+    return release_with(out, sh, arrs)
 
 
 def minhash_signatures(
@@ -542,20 +615,26 @@ def winnow_dup_pairs(
 
     from datavalidation_spark.operators._cache import release_with
 
-    # Same two fixes as jaccard_pairs (r6): the fingerprint pipeline (k-gram
+    # Same fixes as jaccard_pairs (r6): the fingerprint pipeline (k-gram
     # md5 generator + per-doc sliding-min window + distinct) feeds the freq
-    # aggregate and BOTH self-join sides — persist it once; and the cap is
-    # an anti-join against the few over-cap fingerprints instead of an
-    # inner join against the vocabulary-sized keeper set.
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # aggregate and BOTH self-join sides — persist it once, keyed by the
+    # 8-byte xxhash64 of the md5-hex fingerprint instead of the 32-char
+    # string (narrower exchange, guide §2.3; collision bound as in
+    # jaccard_pairs), and index only fingerprints with 2 ≤ df ≤ cap — df=1
+    # cannot be shared, df > cap is boilerplate.
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+        .select("id", F.xxhash64("fp").alias("fp64"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    hot = freq.where(F.col("df") > max_doc_freq).select("fp")
-    idx = fps.join(hot, "fp", "left_anti")
+    freq = fps.groupBy("fp64").agg(F.count(F.lit(1)).alias("df"))
+    keep = freq.where(
+        (F.col("df") >= 2) & (F.col("df") <= max_doc_freq)
+    ).select("fp64")
+    idx = fps.join(keep, "fp64", "left_semi")
     out = (
         idx.alias("a")
-        .join(idx.alias("b"), "fp")
+        .join(idx.alias("b"), "fp64")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
