@@ -27,13 +27,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _spread(spark: SparkSession, df: DataFrame, key: str | None = None) -> DataFrame:
     """The sf-dir tables are single parquet files → one scan task, which
     serializes every expression-heavy phase built on top (hashing, shingling,
     LSH folds, exact percentiles). Spread across the cluster first. At real
     scale the input has many files/partitions and scan parallelism makes
-    this repartition unnecessary — same rationale as q_maritime_catalog."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    this repartition unnecessary — same rationale as q_maritime_catalog.
+
+    Hash-partition on the table's unique id when one exists (r6): a keyless
+    round-robin repartition first SORTS each input partition
+    (spark.sql.execution.sortBeforeRepartition, needed for deterministic
+    retries — guide §2.5) — measured 1.8-5.4 s vs 0.9 s for hash on a
+    unique key over 6M rows, which skips the sort and is just as uniform."""
+    n = spark.sparkContext.defaultParallelism
+    if key is None:
+        key = next(
+            (c for c in ("doc_id", "vec_id", "event_id") if c in df.columns), None
+        )
+    return df.repartition(n, F.col(key)) if key else df.repartition(n)
 
 
 # ---------------------------------------------------------------------------
@@ -910,35 +921,20 @@ def q_profile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 3.9 s alone vs <1 s spread). Only the 3 profiled columns
     # ride the shuffle; blocks are reclaimed by ContextCleaner (same pattern
     # as the maritime fixture ctx below).
-    spread = _spread(spark, li.select(*cols)).persist(
+    spread = _spread(spark, li.select(*cols), key="l_extendedprice").persist(
         StorageLevel.MEMORY_AND_DISK
     )
     est = tdigest_quantile_df(spread, cols, qs)
-    exact = spread.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *[
-            F.percentile(F.col(c), F.array(*[F.lit(q) for q in qs])).alias(f"{c}__qx")
-            for c in cols
-        ],
-        *[F.min(c).cast("double").alias(f"{c}__min") for c in cols],
-        *[F.max(c).cast("double").alias(f"{c}__max") for c in cols],
-    )
-    per_col = exact.select(
-        "n_rows",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(f"{c}__qx").alias("qx"),
-                        F.col(f"{c}__min").alias("min_num"),
-                        F.col(f"{c}__max").alias("max_num"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("s"),
-    ).select("n_rows", "s.*")
+    # Exact side: distributed value-count percentiles (r6 — replaces the
+    # F.percentile aggregate whose single final task merged + sorted 4.5M
+    # distinct l_extendedprice values for 14.4 s of the query's 15.8 s;
+    # engine/profiling.py::exact_numeric_percentiles). The exact scalars
+    # feed only the td_ok tolerance verdict and the hashed min/max —
+    # identical values, computed across the cluster instead of one thread.
+    from datavalidation_spark.engine.profiling import exact_numeric_percentiles
+    from datavalidation_spark.operators._cache import carry_release, release_with
+
+    stats = exact_numeric_percentiles(spread, cols, qs)
     span = F.greatest(F.col("max_num") - F.col("min_num"), F.lit(1e-9))
     td_ok = F.forall(
         F.zip_with(
@@ -948,13 +944,15 @@ def q_profile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda b: b,
     )
-    return per_col.join(F.broadcast(est), "column").select(
+    out = stats.join(F.broadcast(est), "column").select(
         "column",
         F.col("n_rows").cast("long").alias("n_rows"),
         F.round("min_num", 6).alias("min_num"),
         F.round("max_num", 6).alias("max_num"),
         td_ok.alias("td_ok"),
     )
+    out = carry_release(stats, out)
+    return release_with(out, spread)
 
 
 def q_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1065,10 +1063,10 @@ def q_maritime_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sf-dir events table is a single parquet file → one scan task; the
     # rule projection is the expensive part, so spread it across the
     # cluster first (at real scale the input has many files/partitions and
-    # this repartition is unnecessary — scan parallelism does it)
-    ev = _t(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # this repartition is unnecessary — scan parallelism does it). Hash on
+    # the unique event_id: skips the keyless repartition's per-partition
+    # sort (see _spread) at identical uniformity.
+    ev = _spread(spark, _t(spark, sf_dir, "events"))
     # persist the shared fixture ctx: the 5 per-family branches below each
     # consume it, and without a materialization boundary every branch would
     # recompute the full fixture-expression projection (5× the scan+expr

@@ -575,8 +575,36 @@ def run_advanced_checks(
     feats = features or DEFAULT_FEATURES
     fn = advanced_checks_fn(group_col, ts_col, feats, **kw)
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartition(n, group_col)
-    return part.groupBy(group_col).applyInPandas(fn, ADVANCED_RESULT_SCHEMA)
+    # Same many-small-groups shape as changepoints_per_group below (r6):
+    # grouped-map applyInPandas pays per-GROUP Arrow/schema overhead, which
+    # at 10^4+ groups of ~10^2 rows dominates the actual per-group numpy
+    # work. Repartition on (group, lit(0)) — user-specified, so AQE never
+    # coalesces the CPU-bound stage, and textually distinct from any
+    # upstream hash partitioning so Catalyst cannot elide it — then ONE
+    # mapInPandas per partition with a pandas groupby inside; fn still
+    # sorts each group internally, so no partition-level sort is needed.
+    # Only the columns the check function reads cross the Python boundary
+    # (guide §4.1).
+    order_cols = kw.get("order_cols") or [ts_col]
+    needed = list(dict.fromkeys([group_col, ts_col, *order_cols, *feats]))
+    part = df.select(*needed).repartition(n, F.col(group_col), F.lit(0))
+
+    def gen(batches):
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if pdf.empty:
+            return
+        outs = []
+        for _, g in pdf.groupby(group_col, sort=False, dropna=False):
+            r = fn(g.reset_index(drop=True))
+            if len(r):
+                outs.append(r)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return part.mapInPandas(gen, ADVANCED_RESULT_SCHEMA)
 
 
 CHANGEPOINT_SCHEMA = StructType(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
+from pyspark.sql.window import Window
 
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -73,6 +74,134 @@ def _melt_profile(df: DataFrame, cols, fields, row: Row) -> DataFrame:
     return df.sparkSession.createDataFrame(out)
 
 
+def exact_numeric_percentiles(
+    df: DataFrame,
+    cols: list[str],
+    qs: list[float],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact percentiles for numeric columns as a DISTRIBUTED plan —
+    ``(column, n_rows, n_valid, n_distinct, null_cnt, min_num, max_num,
+    qx array<double>)``, one row per requested column (present even when the
+    column is all-NULL; ``qx`` NULL then).
+
+    Why not ``F.percentile``: the builtin buffers every distinct value in
+    an OpenHashMap whose merge + sort runs in the ONE final reduce task —
+    measured 14.4 s at sf1.0 (l_extendedprice: 4.56M distinct values
+    sorted single-threaded) while the whole rest of the profile took ~6 s.
+    Here the sort is a range-repartition: value counts are range-
+    partitioned on (column, v), per-partition totals give each partition's
+    global rank offset (a tiny second aggregate), a per-partition window
+    adds local cumulative counts, and each target rank ⌊q·(n−1)⌋ /
+    ⌈q·(n−1)⌉ is picked with a conditional max — every stage distributed,
+    no single-task sort anywhere (guide §2: the same work, shuffled wider).
+
+    Interpolation matches the builtin's formula
+    ``lo·(⌈r⌉−r) + hi·(r−⌊r⌋)`` (value when ⌊r⌋=⌈r⌉). Bit-identical
+    output is NOT guaranteed (float algebra order differs at ulp scale);
+    callers use these values for tolerance verdicts, not hashed output.
+    """
+    from pyspark import StorageLevel
+
+    from datavalidation_spark.operators._cache import release_with
+
+    spark = df.sparkSession
+    n = n_parts or spark.sparkContext.defaultParallelism
+    structs = F.array(
+        *[
+            F.struct(F.lit(c).alias("column"), F.col(c).cast("double").alias("v"))
+            for c in cols
+        ]
+    )
+    vc = (
+        df.select(F.explode(structs).alias("p"))
+        .select("p.column", "p.v")
+        .groupBy("column", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nulls = vc.where(F.col("v").isNull()).select(
+        "column", F.col("cnt").alias("null_cnt")
+    )
+    nn = vc.where(F.col("v").isNotNull())
+    # Range-partition the distinct values. MUST be persisted: the rank
+    # offsets and the local cumulative window are two consumers, and an
+    # unpersisted repartitionByRange re-SAMPLES its boundaries per
+    # evaluation — two consumers can see two different partitionings (and
+    # spark_partition_id values), silently corrupting the global ranks
+    # (observed: offsets from one partitioning, local sums from another).
+    ranged = (
+        nn.repartitionByRange(n, "column", "v")
+        .sortWithinPartitions("column", "v")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    psum = ranged.groupBy("pid", "column").agg(F.sum("cnt").alias("pcnt"))
+    woff = (
+        Window.partitionBy("column")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = psum.select(
+        "pid", "column", F.coalesce(F.sum("pcnt").over(woff), F.lit(0)).alias("off")
+    )
+    wloc = Window.partitionBy("pid", "column").orderBy("v")
+    loc = ranged.withColumn("lcum", F.sum("cnt").over(wloc))
+    cum = (
+        loc.join(offsets, ["pid", "column"])
+        .withColumn("cum", F.col("off") + F.col("lcum"))
+    )
+    totals = psum.groupBy("column").agg(F.sum("pcnt").alias("n_valid"))
+    stats = ranged.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min("v").alias("min_num"),
+        F.max("v").alias("max_num"),
+    )
+    jj = cum.join(totals, "column")
+    aggs = [F.first("n_valid").alias("n_valid")]
+    for i, q in enumerate(qs):
+        rq = F.lit(float(q)) * (F.col("n_valid") - 1).cast("double")
+        lo, hi = F.floor(rq), F.ceil(rq)
+        covers_lo = (F.col("cum") - F.col("cnt") <= lo) & (lo < F.col("cum"))
+        covers_hi = (F.col("cum") - F.col("cnt") <= hi) & (hi < F.col("cum"))
+        aggs += [
+            F.max(F.when(covers_lo, F.col("v"))).alias(f"_lo{i}"),
+            F.max(F.when(covers_hi, F.col("v"))).alias(f"_hi{i}"),
+        ]
+    picked = jj.groupBy("column").agg(*aggs)
+    vals = []
+    for i, q in enumerate(qs):
+        rq = F.lit(float(q)) * (F.col("n_valid") - 1).cast("double")
+        lo, hi = F.floor(rq), F.ceil(rq)
+        vals.append(
+            F.when(lo == hi, F.col(f"_lo{i}")).otherwise(
+                F.col(f"_lo{i}") * (hi.cast("double") - rq)
+                + F.col(f"_hi{i}") * (rq - lo.cast("double"))
+            )
+        )
+    scaffold = spark.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in cols])).alias("column")
+    )
+    out = (
+        scaffold.join(picked, "column", "left")
+        .join(stats, "column", "left")
+        .join(nulls, "column", "left")
+        .select(
+            "column",
+            (F.coalesce("n_valid", F.lit(0)) + F.coalesce("null_cnt", F.lit(0)))
+            .cast("long")
+            .alias("n_rows"),
+            F.coalesce("n_valid", F.lit(0)).cast("long").alias("n_valid"),
+            F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+            F.coalesce("null_cnt", F.lit(0)).cast("long").alias("null_cnt"),
+            "min_num",
+            "max_num",
+            F.when(F.col("n_valid") >= 1, F.array(*vals)).alias("qx"),
+        )
+    )
+    return release_with(out, vc, ranged)
+
+
 def profile_with_bounds(
     df: DataFrame,
     columns: list[str],
@@ -124,26 +253,21 @@ def profile_with_bounds(
     # columns.
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     numeric_cols = [c for c in columns if isinstance(fields[c], NumericType)]
-    # concurrent jobs over the SAME persisted input (VERDICT r4 #4 — the
-    # former serial two-pass shape paid their sum):
-    #   J1 sketches (HLL + GK + nulls/min/max),
-    #   J2 exact distinct (isolated: mixing countDistinct with other aggs
-    #      makes Catalyst Expand the input N+1x — measured ~10x slower),
-    #   J3 exact percentiles (isolated from J2 for the same Expand reason,
-    #      and out of J1 because per-row agg costs ADD inside one job while
-    #      separate jobs interleave across the executor pool).
-    # Job granularity adapts to input parallelism: when the cached input
-    # has FEW partitions (scan-split inputs, ~6-12 tasks/job), three wide
-    # jobs cannot fill the executor pool, so J1/J3 are split further (HLL
-    # pass | GK+minmax pass | one exact-percentile job per column) —
-    # jobs x partitions then exceeds the core count and the pool stays
-    # saturated (interleaved A/B at sf0.1 on 32 cores: 11-partition input
-    # 2.4-2.6 s narrow vs 3.3-3.7 s wide; 32-partition input the reverse,
-    # 3.7 s narrow vs 3.1 s wide — more jobs on an already-saturated pool
-    # only add scheduling overhead).
+    other_cols = [c for c in columns if c not in numeric_cols]
+    # concurrent jobs over the SAME persisted input (VERDICT r4 #4 — a
+    # serial shape pays their sum):
+    #   J1 sketches (HLL + nulls + GK approximate quantiles; no
+    #      countDistinct, so no Expand),
+    #   J2 exact distinct for NON-numeric columns only (numeric exact
+    #      distincts fall out of J3's value-count table for free; isolated
+    #      because mixing countDistinct with other aggregates makes
+    #      Catalyst Expand the input N+1x — measured ~10x slower),
+    #   J3 exact numeric stats — distinct/min/max/percentiles — via the
+    #      distributed value-count plan (exact_numeric_percentiles above;
+    #      replaces the F.percentile aggregate whose single-task final
+    #      merge-sort of millions of distinct values was 14.4 s of the
+    #      16.7 s query at sf1.0).
     from concurrent.futures import ThreadPoolExecutor
-
-    narrow = df.rdd.getNumPartitions() * 3 < 2 * df.sparkSession.sparkContext.defaultParallelism
 
     def _hll_aggs():
         out = [F.count(F.lit(1)).alias("_total")]
@@ -153,51 +277,39 @@ def profile_with_bounds(
                 F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
                 F.approx_count_distinct(col, rsd).alias(f"{c}__hll"),
             ]
-        return out
-
-    def _gk_aggs():
-        out = []
         for c in numeric_cols:
-            col = F.col(c)
-            out += [
-                F.min(col).cast("double").alias(f"{c}__min"),
-                F.max(col).cast("double").alias(f"{c}__max"),
-                F.percentile_approx(col, [0.25, 0.5, 0.75]).alias(f"{c}__qs"),
-            ]
+            out.append(
+                F.percentile_approx(F.col(c), [0.25, 0.5, 0.75]).alias(f"{c}__qs")
+            )
         return out
 
-    def _exact_distinct():
-        return df.agg(
-            *[F.countDistinct(F.col(c)).alias(f"{c}__exact_d") for c in columns]
-        ).collect()[0]
+    def _sketch_job():
+        return df.agg(*_hll_aggs()).collect()[0].asDict()
 
-    def _pct_agg(cs: list[str]):
-        return df.agg(
-            *[
-                F.percentile(
-                    F.col(c), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-                ).alias(f"{c}__qx")
-                for c in cs
-            ]
+    def _other_distinct():
+        if not other_cols:
+            return {}
+        r = df.agg(
+            *[F.countDistinct(F.col(c)).alias(f"{c}__exact_d") for c in other_cols]
         ).collect()[0]
+        return r.asDict()
 
-    if narrow:
-        jobs = [
-            lambda: df.agg(*_hll_aggs()).collect()[0],
-            _exact_distinct,
-        ]
-        if numeric_cols:
-            jobs.append(lambda: df.agg(*_gk_aggs()).collect()[0])
-            jobs += [
-                (lambda c=c: _pct_agg([c])) for c in numeric_cols
-            ]
-    else:
-        jobs = [
-            lambda: df.agg(*(_hll_aggs() + _gk_aggs())).collect()[0],
-            _exact_distinct,
-        ]
-        if numeric_cols:
-            jobs.append(lambda: _pct_agg(numeric_cols))
+    def _numeric_exact():
+        if not numeric_cols:
+            return {}
+        rows = exact_numeric_percentiles(
+            df, numeric_cols, [0.25, 0.5, 0.75]
+        ).collect()
+        out: dict = {}
+        for r in rows:
+            c = r["column"]
+            out[f"{c}__exact_d"] = r["n_distinct"]
+            out[f"{c}__min"] = r["min_num"]
+            out[f"{c}__max"] = r["max_num"]
+            out[f"{c}__qx"] = r["qx"]
+        return out
+
+    jobs = [_sketch_job, _other_distinct, _numeric_exact]
 
     # FAIR scheduling is between POOLS, not between jobs in one pool (the
     # default pool is internally FIFO) — each concurrent job takes its own
@@ -224,9 +336,9 @@ def profile_with_bounds(
         # a failing agg job (bad column, executor loss) must not leak the
         # cached input into session storage for the session's lifetime
         df.unpersist()
-    row = {}
+    row: dict = {}
     for r in rows:
-        row.update(r.asDict())
+        row.update(r)
     total = row["_total"]
     out = []
     for c in columns:
