@@ -1560,7 +1560,10 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Java-regex ∩ RE2 common subset — see operators/pii.py."""
     from datavalidation_spark.operators.pii import pii_counts, redact_pii
 
-    docs = _t(spark, sf_dir, "documents")
+    # 8 Java-regex passes per row are the cost here — spread the single-file
+    # scan so they run cluster-wide, not in one scan task (r6; same
+    # rationale as every other expression-heavy doc query)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     planted = docs.select(
         "doc_id",
         F.concat(

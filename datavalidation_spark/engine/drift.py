@@ -205,6 +205,34 @@ def _c_factor(sz: np.ndarray) -> np.ndarray:
     return out
 
 
+_IFOREST_DRAW_CACHE: dict[tuple, tuple] = {}
+
+
+def _iforest_draws(
+    seed: int, n: int, m: int, n_trees: int, sub: int, limit: int
+) -> tuple[np.ndarray, list[np.ndarray], list[np.ndarray]]:
+    """(samp, per-level feats, per-level split fractions) for
+    :func:`isolation_scores` — the exact draw sequence the inline code
+    consumed, memoized on the shape key so same-shaped groups share it.
+    Bounded: one entry is O(n_trees·2^limit·limit) ≈ a few MB; keep 8."""
+    key = (seed, n, m, n_trees, sub, limit)
+    hit = _IFOREST_DRAW_CACHE.get(key)
+    if hit is not None:
+        return hit
+    rng = np.random.default_rng(seed)
+    samp = np.stack([rng.choice(n, sub, replace=False) for _ in range(n_trees)])
+    K = 1 << (limit + 1)
+    feats: list[np.ndarray] = []
+    us: list[np.ndarray] = []
+    for _ in range(limit + 1):
+        feats.append(rng.integers(0, m, size=n_trees * K))
+        us.append(rng.random(n_trees * K))
+    if len(_IFOREST_DRAW_CACHE) >= 8:
+        _IFOREST_DRAW_CACHE.clear()
+    _IFOREST_DRAW_CACHE[key] = (samp, feats, us)
+    return samp, feats, us
+
+
 def isolation_scores(
     X: np.ndarray, n_trees: int = 100, max_samples: int = 256, seed: int = 42
 ) -> np.ndarray:
@@ -223,7 +251,6 @@ def isolation_scores(
     stack walk that made this the single most expensive operator in round 2
     (VERDICT r2 what's-wrong #2: 39.5 s at sf0.1, ~98% here).
     """
-    rng = np.random.default_rng(seed)
     n, m = X.shape
     sub = min(max_samples, n)
     if n == 0:
@@ -232,8 +259,15 @@ def isolation_scores(
     T = n_trees
     K = 1 << (limit + 1)  # heap-node id bound per tree
 
-    # per-tree subsample indices, (T, sub)
-    samp = np.stack([rng.choice(n, sub, replace=False) for _ in range(T)])
+    # Every random draw below is a fixed-size function of (seed, n, m, T,
+    # sub, limit) — independent of the DATA — so the whole stream (subsample
+    # indices + per-level feature picks and split fractions) is cached and
+    # shared across groups of the same shape (r6). A 15k-group corpus has a
+    # few dozen distinct group sizes; regenerating ~2M PCG draws per group
+    # was ~60% of the ensemble's per-group cost. Values are bit-identical
+    # to drawing inline: same generator, same call sequence, level draws
+    # are prefixes the early-converged run simply leaves unused.
+    samp, feats, us = _iforest_draws(seed, n, m, T, sub, limit)
     tree_pt = np.repeat(np.arange(T), n)          # flattened (T, n)
     pt = np.tile(np.arange(n), T)
     node_pt = np.zeros(T * n, dtype=np.int64)
@@ -252,8 +286,8 @@ def isolation_scores(
         k_pt = tree_pt[act_pt] * K + node_pt[act_pt]
         # one rng draw per possible (tree, node) key keeps the stream
         # deterministic regardless of which nodes are live
-        feat = rng.integers(0, m, size=T * K)
-        u = rng.random(T * K)
+        feat = feats[d]
+        u = us[d]
         lo = np.full(T * K, np.inf)
         hi = np.full(T * K, -np.inf)
         vals_sm = X[sm_x[act_sm], feat[k_sm]]
@@ -597,7 +631,14 @@ def run_advanced_checks(
         if pdf.empty:
             return
         outs = []
-        for _, g in pdf.groupby(group_col, sort=False, dropna=False):
+        # visit groups in size order: the iforest draw cache (above) is
+        # keyed on group shape, so same-sized groups arriving consecutively
+        # share one generated stream instead of thrashing the 8-entry cache
+        groups = sorted(
+            pdf.groupby(group_col, sort=False, dropna=False),
+            key=lambda kv: len(kv[1]),
+        )
+        for _, g in groups:
             r = fn(g.reset_index(drop=True))
             if len(r):
                 outs.append(r)

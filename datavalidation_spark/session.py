@@ -54,6 +54,19 @@ def get_spark(
         # Nested-schema pruning so span-rule scans read only needed struct
         # fields out of parquet (on by default in recent Spark; pin anyway).
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # Scan split size (guide §6). SCALE-DEPENDENT, so parameterised:
+        # the bench inputs are SINGLE parquet files (a 6M-row fact is one
+        # 125 MB file), and the 128 MB default plans the whole scan as 1-2
+        # tasks — every downstream map-side expression then runs serial
+        # (measured: physics_model_check 3.9 s noop, ~all in one task).
+        # 4 MB splits restore full scan parallelism at every bench SF. A
+        # production table is many 128 MB-1 GB files, where LARGER splits
+        # (512 MB+) are right — set SPARK_GRAFT_MAX_PARTITION_BYTES for
+        # the deployment; this default only targets the single-file shape.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Local mode runs driver AND all executor threads in ONE JVM: the
         # driver heap is the entire cluster memory. 8g with 32 task threads
