@@ -112,7 +112,11 @@ def connected_components(
         # LAZY checkpoint: the convergence checksum below is the action that
         # materializes it, so each round costs ONE Spark action, not two —
         # at contract scale the rounds are scheduling-bound and this halves
-        # the per-round overhead; at real scale it skips nothing.
+        # the per-round overhead; at real scale it skips nothing. (r6 A/B:
+        # TWO alternations per checkpoint was tried and measured slower —
+        # interleaved mins 12.3 s vs 10.9 s at sf1.0 — the post-fixpoint
+        # extra alternation and deeper uncheckpointed plan cost more than
+        # the saved actions; single alternation stays.)
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # order-insensitive checksum; sum in decimal(38,0) — full-range
         # xxhash64 longs overflow an ANSI bigint sum after ~2 edges

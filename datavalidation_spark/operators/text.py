@@ -134,15 +134,34 @@ def repetition_signals(text: Column, n: int = 2) -> dict[str, Column]:
         m >= 1,
         (m - F.size(F.array_distinct(grams))) / m.cast("double"),
     ).otherwise(F.lit(0.0))
+    # max token multiplicity as a run-length scan over the SORTED array
+    # (r6): the former distinct×filter nest was O(tokens²) per document —
+    # the single hottest expression of the text-quality projections. The
+    # sorted-run maximum is the same integer (multiplicity of the most
+    # common token), at O(n log n).
+    srt = F.array_sort(toks)
+    top_cnt = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(acc["prev"].isNotNull() & (acc["prev"] == t), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].isNotNull() & (acc["prev"] == t), acc["run"] + 1)
+                .otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
     top_frac = F.when(
-        F.size(toks) > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.size(F.filter(toks, lambda x: x == t)),
-            )
-        ).cast("double")
-        / F.size(toks),
+        F.size(toks) > 0, top_cnt.cast("double") / F.size(toks)
     ).otherwise(F.lit(0.0))
     return {"dup_ngram_frac": dup_frac, "top_token_frac": top_frac}
 

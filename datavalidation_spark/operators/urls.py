@@ -49,15 +49,22 @@ SECOND_LEVEL_SUFFIXES: tuple[str, ...] = (
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased host of a URL; NULL when no scheme://host prefix parses."""
-    h = F.regexp_extract(url, _HOST_RE, 1)
-    return F.lower(F.when(h != "", h))
+    """Lowercased host of a URL; NULL when no scheme://host prefix parses.
+
+    ``nullif`` instead of ``when(x != '', x)`` here and below (r6): the
+    conditional forms referenced each regexp_extract twice, and the fused
+    domain_cap projection tripped a janino InternalCompilerException on
+    the generated ``matchResult.group(1)`` accesses — the whole stage then
+    ran INTERPRETED. The nullif forms are value-identical (empty → NULL,
+    NULL → NULL) and compile."""
+    return F.lower(F.nullif(F.regexp_extract(url, _HOST_RE, 1), F.lit("")))
 
 
 def strip_www(host: Column) -> Column:
     """Drop one leading ``www.`` label (group extraction, not replacement)."""
-    bare = F.regexp_extract(host, r"^www\.(.+)$", 1)
-    return F.when(bare != "", bare).otherwise(host)
+    return F.coalesce(
+        F.nullif(F.regexp_extract(host, r"^www\.(.+)$", 1), F.lit("")), host
+    )
 
 
 def registered_domain(host: Column) -> Column:
@@ -65,12 +72,11 @@ def registered_domain(host: Column) -> Column:
     tail is a known second-level public suffix (``example.co.uk`` →
     ``example.co.uk``, not ``co.uk``). NULL-safe; a host with fewer labels
     passes through unchanged."""
-    two = F.regexp_extract(host, _REG2_RE, 1)
-    three = F.regexp_extract(host, _REG3_RE, 1)
-    two_nn = F.when(two != "", two).otherwise(host)
-    return F.when(
-        two.isin(*SECOND_LEVEL_SUFFIXES) & (three != ""), three
-    ).otherwise(two_nn)
+    two = F.nullif(F.regexp_extract(host, _REG2_RE, 1), F.lit(""))
+    three = F.nullif(F.regexp_extract(host, _REG3_RE, 1), F.lit(""))
+    return F.coalesce(
+        F.when(two.isin(*SECOND_LEVEL_SUFFIXES), three), two, host
+    )
 
 
 def domain_cap(
@@ -106,8 +112,20 @@ def domain_cap(
             )
     dom = registered_domain(strip_www(url_host(F.col(url_col))))
     with_dom = df.withColumn(out_domain, dom)
-    parseable = with_dom.where(F.col(out_domain).isNotNull())
-    unparseable = with_dom.where(F.col(out_domain).isNull()).withColumn(
+    # Split on regexp_like of the RAW url, not on the derived domain (r6):
+    # ``domain IS NULL`` exactly ⟺ the host regex does not match (every
+    # later step only coalesces back toward the host), but a filter on the
+    # derived column gets pushed below the projection with the whole
+    # 3-regex extraction chain duplicated into it — which both doubles the
+    # regex work and trips a janino InternalCompilerException on the
+    # generated matchResult accesses, dropping the ENTIRE stage out of
+    # whole-stage codegen (observed: interpreted fallback on every
+    # domain_cap run). The boolean regexp_like probe pushes down clean.
+    is_parseable = F.coalesce(
+        F.regexp_like(F.col(url_col), F.lit(_HOST_RE)), F.lit(False)
+    )
+    parseable = with_dom.where(is_parseable)
+    unparseable = with_dom.where(~is_parseable).withColumn(
         out_rank, F.lit(None).cast("int")
     )
     w = Window.partitionBy(out_domain).orderBy(
