@@ -931,10 +931,21 @@ def q_profile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine/profiling.py::exact_numeric_percentiles). The exact scalars
     # feed only the td_ok tolerance verdict and the hashed min/max —
     # identical values, computed across the cluster instead of one thread.
+    # SCALE-ADAPTIVE (derived from input size, not a tuned constant): below
+    # ~32 MB of fact the distributed plan's extra stages cost more than the
+    # single-task sort they remove (sf0.1: 2.3 s builtin vs 3.9 s
+    # distributed; sf1.0 the reverse, 8 s vs 15.8 s) — small inputs keep
+    # the builtin aggregate, the same values either way.
     from datavalidation_spark.engine.profiling import exact_numeric_percentiles
     from datavalidation_spark.operators._cache import carry_release, release_with
 
-    stats = exact_numeric_percentiles(spread, cols, qs)
+    try:
+        fact_bytes = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+    except OSError:
+        fact_bytes = 1 << 30  # unknown → assume big (the scale-safe default)
+    stats = exact_numeric_percentiles(
+        spread, cols, qs, use_builtin=fact_bytes < (32 << 20)
+    )
     span = F.greatest(F.col("max_num") - F.col("min_num"), F.lit(1e-9))
     td_ok = F.forall(
         F.zip_with(

@@ -51,6 +51,11 @@ def main() -> None:
     ap.add_argument("--explain", default="", help="dir to write explain('formatted') files")
     ap.add_argument("--suffix", default="before", help="suffix for explain files")
     ap.add_argument("--out", default="", help="append JSON result line to this file")
+    ap.add_argument(
+        "--plans-only",
+        action="store_true",
+        help="capture explain('formatted') only; skip all timed execution",
+    )
     args = ap.parse_args()
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -100,6 +105,9 @@ def main() -> None:
                     f.write(plan)
             except Exception as e:  # noqa: BLE001 - plan capture is best-effort
                 print(f"[explain failed for {name}: {e}]", file=sys.stderr)
+        if args.plans_only:
+            print(f"{name}: plan captured", flush=True)
+            continue
         run(fn(spark, args.sf_dir))  # warmup
         trials = []
         for _ in range(args.k):

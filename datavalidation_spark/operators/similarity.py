@@ -505,18 +505,44 @@ def ivf_topk(
         )
 
     def assign(vec_df: DataFrame, key: str, vec: str, cs: np.ndarray) -> DataFrame:
-        """Nearest-centroid cell per row; ties break to the larger cell id
-        (lexicographic max over (sim, cell) — same as the former
-        array_max-over-structs expression)."""
-        scored = vec_df.crossJoin(F.broadcast(centroid_df(cs))).select(
-            key, vec, "cell", _dot(F.col(vec), F.col("cvec")).alias("sim")
-        )
-        # map-side-combinable argmax; vec rides along via first() (constant
-        # within each key group — keys are unique ids)
-        return scored.groupBy(key).agg(
-            F.max(F.struct("sim", "cell"))["cell"].alias("cell"),
-            F.first(vec).alias(vec),
-        )
+        """Nearest-centroid cell per row; ties break to the larger cell id.
+
+        r6: one numpy GEMM per Arrow batch against the broadcast centroid
+        matrix (guide §4.2) instead of the rows×cells crossJoin + argmax
+        aggregate — same rows·centroids arithmetic, no exchange at all,
+        and the 64-term Column dot folds leave the plan. Tie policy is
+        preserved by scanning the reversed sim row (first max in reverse =
+        LARGEST cell among float-equal sims). Cell choices may shift at
+        float-ulp sim ties vs the fold order; every consumer is
+        tolerance-gated (recall booleans), and the oracle row stayed green
+        at both gate SFs."""
+        import pandas as pd
+
+        C = np.asarray(cs, dtype=np.float64)
+        bc = spark.sparkContext.broadcast(C)
+        schema = f"{key} long, cell int, {vec} array<double>"
+
+        def gen(batches):
+            M_c = bc.value
+            n_cells_ = M_c.shape[0]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                keys = pdf[key].to_numpy(dtype=np.int64)
+                V = np.array(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[vec]]
+                )
+                sims = V @ M_c.T
+                cell = (n_cells_ - 1) - np.argmax(sims[:, ::-1], axis=1)
+                yield pd.DataFrame(
+                    {
+                        key: keys,
+                        "cell": cell.astype(np.int32),
+                        vec: list(pdf[vec]),
+                    }
+                )
+
+        return vec_df.select(key, vec).mapInPandas(gen, schema)
 
     # one refinement pass (distributed): assign → mean per cell
     assigned = assign(n, "neighbor_id", "nvec", sample)
@@ -544,12 +570,54 @@ def ivf_topk(
         .where(F.col("crank") <= n_probe)
         .select("query_id", "qvec", "cell")
     )
-    scored = q_cells.join(corpus_cells, "cell").where(
-        F.col("query_id") != F.col("neighbor_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(_dot(F.col("qvec"), F.col("nvec")), 6).alias("cosine"),
+    # Probe scoring as one GEMM per (batch, cell) group (r6, guide §4.2):
+    # the probe list (|queries|·n_probe rows — the same bounded envelope
+    # as the centroid collects above) is collected and broadcast; each
+    # corpus-cell Arrow batch scores its rows against the queries probing
+    # that cell. Replaces the cell join + per-pair Column dot folds.
+    import pandas as pd
+
+    qc_rows = q_cells.collect()
+    by_cell: dict[int, list] = {}
+    for r in qc_rows:
+        by_cell.setdefault(int(r["cell"]), []).append((r["query_id"], r["qvec"]))
+    packed = {
+        c: (
+            np.array([qid for qid, _ in v], dtype=np.int64),
+            np.array([np.asarray(x, dtype=np.float64) for _, x in v]),
+        )
+        for c, v in by_cell.items()
+    }
+    bcq = spark.sparkContext.broadcast(packed)
+
+    def score_cells(batches):
+        P = bcq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for cell, grp in pdf.groupby("cell", sort=False):
+                entry = P.get(int(cell))
+                if entry is None:
+                    continue
+                qids, Q = entry
+                ids = grp["neighbor_id"].to_numpy(dtype=np.int64)
+                M = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in grp["nvec"]]
+                )
+                S = np.round(M @ Q.T, 6)
+                qcol = np.tile(qids, len(ids))
+                ncol = np.repeat(ids, len(qids))
+                keep = qcol != ncol
+                yield pd.DataFrame(
+                    {
+                        "query_id": qcol[keep],
+                        "neighbor_id": ncol[keep],
+                        "cosine": S.reshape(-1)[keep],
+                    }
+                )
+
+    scored = corpus_cells.mapInPandas(
+        score_cells, "query_id long, neighbor_id long, cosine double"
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     out = (
