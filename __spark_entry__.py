@@ -976,9 +976,13 @@ def q_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datavalidation_spark.engine.profiling import profile_with_bounds
 
     # Scan parallelism from FILE SPLITS, not a repartition shuffle: the
-    # single-file bench input is read with 1 MB splits (conf scoped to this
-    # read and restored), giving ~11 scan tasks with zero exchange — the
-    # shape a production table has for free from its many files. The
+    # single-file bench input is read with 1 MB splits. NOTE the conf swap
+    # is TEMPORAL, not per-read — it is session-global between set and
+    # restore, which is safe because the driver executes queries strictly
+    # sequentially and this function materializes everything before
+    # returning (ADVICE r5; a concurrently-planning thread would pick up
+    # the 1 MB splits). This yields many scan tasks with zero exchange —
+    # the shape a production table has for free from its many files. The
     # profile's concurrent aggregation jobs then adapt to the lower
     # partition count (profile_with_bounds narrow-job path). Interleaved
     # A/B at sf0.1: 2.4-2.6 s vs 3.1-3.7 s for repartition(32)+wide jobs —

@@ -485,8 +485,24 @@ class ManifestLog:
                         self.commits_dir, f"_checkpoint-{new_seq:08d}.json"
                     ),
                 )
-            finally:
+            except FileExistsError:
+                # a concurrent compact() folded the live log (including our
+                # no-op claim) and published a checkpoint at the same seq
+                # first. Unlike compact's idempotent collision, the contents
+                # HERE differ (ours drops expired snapshots), so the correct
+                # protocol response is: release the claim and let
+                # expire_snapshots retry from a fresh compact (ADVICE r5).
                 os.unlink(tmp)
+                try:
+                    os.unlink(claim)
+                except FileNotFoundError:
+                    pass
+                return None
+            finally:
+                try:
+                    os.unlink(tmp)
+                except FileNotFoundError:
+                    pass
             break
         self._fsync_dir(self.commits_dir)
         # the checkpoint alias is durable: retire the claim file (readers

@@ -88,6 +88,12 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - queries.keys()
+    if unknown:
+        # a typo'd query name must be a hard error, not a silently-empty
+        # filter that prints 'failures: none' and exits 0 (ADVICE r5)
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
     failures = []
     t0 = time.time()
     for name, fn in queries.items():
@@ -103,8 +109,12 @@ def main() -> int:
             if name not in oracles:
                 print(f"  {name}: rows-only ({len(srows)} rows, no oracle)")
                 continue
-            orows_raw = con.execute(oracles[name]).fetch_arrow_table().to_pylist()
-            ocols = sorted(orows_raw[0].keys()) if orows_raw else scols
+            otable = con.execute(oracles[name]).fetch_arrow_table()
+            orows_raw = otable.to_pylist()
+            # column names from the ARROW SCHEMA, not the first row: on an
+            # empty result the former scols fallback made any column-name
+            # mismatch vacuously pass (ADVICE r5)
+            ocols = sorted(otable.column_names)
             orows = sorted(
                 (tuple(_norm(r[c]) for c in ocols) for r in orows_raw),
                 key=_row_key,
